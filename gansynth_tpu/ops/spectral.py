@@ -1,0 +1,300 @@
+"""The spectral frontend & synthesis library (SURVEY.md §2.2, S1–S11).
+
+Pure, jittable ``jnp`` functions with static shapes — the single most
+parity-critical component of the framework. Used in both directions:
+
+- data direction (training): waveform -> (scaled log-mel-magnitude, mel-IF)
+  "image" feeding the discriminator as the real sample;
+- synthesis direction: generated mel-IF image -> phase accumulation ->
+  inverse STFT -> waveform.
+
+Conventions (from SURVEY.md; the reference mount was empty, so these are
+the binding spec):
+
+- 64000-sample waves are padded to 67072 samples (pad split per
+  ``AudioConfig.pad_left_fraction``), framed with length 2048 / hop 512,
+  windowed with a periodic Hann, rFFT'd to 1025 bins, and the DC bin is
+  dropped -> a 128x1024 complex spectrogram.
+- Instantaneous frequency is ``diff(unwrap(phase))/pi`` with the initial
+  phase frame prepended so the time axis keeps its length; the inverse is
+  ``cumsum(IF * pi)`` along time.
+- The mel projection uses the heuristic pseudo-inverse from
+  ``gansynth_tpu.ops.mel``; IF is recomputed AFTER projecting the unwrapped
+  phase to mel (and after projecting back), not by projecting IF itself.
+- The inverse STFT multiplies by the least-squares synthesis window and
+  overlap-adds; reconstruction is exact (float tolerance) wherever the
+  overlap is complete, i.e. everywhere except the outer ~frame_length
+  samples, part of which land in the padding (SURVEY.md §7 hard-part 1).
+
+All spectral math stays in float32 — the GAN may run bf16, the FFT path
+must not (SURVEY.md §2.9).
+
+Array layout: waves are ``[..., time]``; spectrograms are
+``[..., frames, bins]``; "images" are ``[..., frames, bins, 2]`` with
+channel 0 = scaled log-mel-magnitude and channel 1 = mel-IF.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gansynth_tpu.ops.mel import linear_to_mel_matrix, mel_to_linear_matrix
+from gansynth_tpu.ops.windows import hann_window, inverse_stft_window
+from gansynth_tpu.utils.config import AudioConfig, scale
+
+_PI = np.pi
+
+
+# ---------------------------------------------------------------------------
+# S3/S4/S5: diff / unwrap / instantaneous frequency
+# ---------------------------------------------------------------------------
+
+def diff(x: jax.Array, axis: int = -2) -> jax.Array:
+    """Finite difference along ``axis`` (length shrinks by one). S3."""
+    n = x.shape[axis]
+    return jax.lax.slice_in_dim(x, 1, n, axis=axis) - jax.lax.slice_in_dim(
+        x, 0, n - 1, axis=axis
+    )
+
+
+def unwrap(phase: jax.Array, axis: int = -2, discont: float = _PI) -> jax.Array:
+    """Phase unwrapping along ``axis`` with numpy.unwrap semantics. S4.
+
+    Accumulates +-2*pi corrections wherever the frame-to-frame phase jump
+    exceeds ``discont``; jumps of exactly -pi with a positive raw difference
+    are mapped to +pi (numpy's tie-break), keeping the op an exact oracle
+    match with ``np.unwrap``.
+    """
+    dd = diff(phase, axis=axis)
+    ddmod = jnp.mod(dd + _PI, 2.0 * _PI) - _PI
+    ddmod = jnp.where((ddmod == -_PI) & (dd > 0), _PI, ddmod)
+    ph_correct = ddmod - dd
+    ph_correct = jnp.where(jnp.abs(dd) < discont, 0.0, ph_correct)
+    corrections = jnp.cumsum(ph_correct, axis=axis)
+    pad = [(0, 0)] * phase.ndim
+    pad[axis if axis >= 0 else phase.ndim + axis] = (1, 0)
+    return phase + jnp.pad(corrections, pad)
+
+
+def instantaneous_frequency(phase: jax.Array, axis: int = -2) -> jax.Array:
+    """IF in [-1, 1]: time-diff of unwrapped phase over pi, shape-preserving. S5.
+
+    The first frame of the unwrapped phase is prepended to the diff so the
+    time axis keeps its length; the exact inverse is
+    ``cumsum(IF * pi, axis)`` (used by :func:`melspecgrams_to_specgrams`
+    and the synthesis path).
+    """
+    unwrapped = unwrap(phase, axis=axis)
+    dphase = diff(unwrapped, axis=axis)
+    initial = jax.lax.slice_in_dim(unwrapped, 0, 1, axis=axis)
+    return jnp.concatenate([initial, dphase], axis=axis) / _PI
+
+
+def polar_to_rect(magnitude: jax.Array, phase: jax.Array) -> jax.Array:
+    """mag * e^{i*phase} as complex64."""
+    mag = magnitude.astype(jnp.float32)
+    return jax.lax.complex(mag * jnp.cos(phase), mag * jnp.sin(phase))
+
+
+# ---------------------------------------------------------------------------
+# S1/S10: framing, STFT, overlap-add, inverse STFT
+# ---------------------------------------------------------------------------
+
+def frame_signal(wave: jax.Array, frame_length: int, frame_step: int) -> jax.Array:
+    """[..., samples] -> [..., frames, frame_length] by strided gather.
+
+    ``frames = (samples - frame_length) // frame_step + 1``; the trailing
+    remainder (if any) is dropped, matching standard STFT framing. The
+    gather lowers to one XLA gather op — no host loop.
+    """
+    samples = wave.shape[-1]
+    num_frames = (samples - frame_length) // frame_step + 1
+    idx = (
+        np.arange(num_frames, dtype=np.int32)[:, None] * frame_step
+        + np.arange(frame_length, dtype=np.int32)[None, :]
+    )
+    return wave[..., idx]
+
+
+def overlap_add(frames: jax.Array, frame_step: int) -> jax.Array:
+    """[..., frames, frame_length] -> [..., samples] via scatter-add.
+
+    Inverse of :func:`frame_signal`'s layout; lowers to one XLA scatter-add.
+    """
+    num_frames, frame_length = frames.shape[-2], frames.shape[-1]
+    samples = (num_frames - 1) * frame_step + frame_length
+    idx = (
+        np.arange(num_frames, dtype=np.int32)[:, None] * frame_step
+        + np.arange(frame_length, dtype=np.int32)[None, :]
+    )
+    out = jnp.zeros(frames.shape[:-2] + (samples,), dtype=frames.dtype)
+    return out.at[..., idx].add(frames)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def stft(wave: jax.Array, config: AudioConfig = AudioConfig()) -> jax.Array:
+    """S1: [..., 64000] float wave -> [..., 128, 1024] complex spectrogram.
+
+    Pads to ``config.padded_length``, frames, applies a periodic Hann
+    window, rFFTs, and drops the DC bin (``config.discard_dc``).
+    """
+    if wave.shape[-1] != config.audio_length:
+        raise ValueError(
+            f"expected waves of {config.audio_length} samples, got "
+            f"{wave.shape[-1]} (config.audio_length drives the frame count)"
+        )
+    wave = wave.astype(jnp.float32)
+    pad = [(0, 0)] * (wave.ndim - 1) + [(config.pad_left, config.pad_right)]
+    wave = jnp.pad(wave, pad)
+    frames = frame_signal(wave, config.frame_length, config.frame_step)
+    window = jnp.asarray(hann_window(config.frame_length))
+    spec = jnp.fft.rfft(frames * window, axis=-1)
+    if config.discard_dc:
+        spec = spec[..., 1:]
+    else:
+        spec = spec[..., :-1]
+    return spec
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def istft(spec: jax.Array, config: AudioConfig = AudioConfig()) -> jax.Array:
+    """S10 tail: [..., 128, 1024] complex -> [..., 64000] float wave.
+
+    Re-inserts a zero bin where :func:`stft` dropped one, irFFTs, applies
+    the least-squares synthesis window, overlap-adds, and crops the padding
+    back off.
+    """
+    pad = [(0, 0)] * (spec.ndim - 1)
+    if config.discard_dc:
+        spec = jnp.pad(spec, pad + [(1, 0)])
+    else:
+        spec = jnp.pad(spec, pad + [(0, 1)])
+    frames = jnp.fft.irfft(spec, n=config.frame_length, axis=-1)
+    window = jnp.asarray(
+        inverse_stft_window(hann_window(config.frame_length), config.frame_step)
+    )
+    wave = overlap_add(frames * window, config.frame_step)
+    return jax.lax.slice_in_dim(
+        wave, config.pad_left, config.pad_left + config.audio_length, axis=-1
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8/S9: specgrams <-> melspecgrams
+# ---------------------------------------------------------------------------
+
+def _mel_matrices(config: AudioConfig):
+    l2m = linear_to_mel_matrix(
+        num_mel_bins=config.num_mel_bins,
+        num_spectrogram_bins=config.num_freq_bins,
+        sample_rate=config.sample_rate,
+        lower_edge_hertz=config.mel_lower_hertz,
+        upper_edge_hertz=config.mel_upper_hertz,
+    )
+    return jnp.asarray(l2m), jnp.asarray(mel_to_linear_matrix(l2m))
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def specgrams_to_melspecgrams(
+    logmag: jax.Array, ifreq: jax.Array, config: AudioConfig = AudioConfig()
+):
+    """S8: (log-magnitude, IF) on linear bins -> (log-mel-mag^2, mel-IF).
+
+    Magnitudes travel through mel as POWER (mag^2 @ M); phase travels as the
+    accumulated phase angle projected through M, with IF recomputed after
+    projection (SURVEY.md §2.2 S8).
+    """
+    l2m, _ = _mel_matrices(config)
+    mag2 = jnp.exp(2.0 * logmag)
+    logmelmag2 = jnp.log(mag2 @ l2m + config.logmel_eps)
+    phase = jnp.cumsum(ifreq * _PI, axis=-2)
+    mel_phase = phase @ l2m
+    mel_ifreq = instantaneous_frequency(mel_phase, axis=-2)
+    return logmelmag2, mel_ifreq
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def melspecgrams_to_specgrams(
+    logmelmag2: jax.Array, mel_ifreq: jax.Array, config: AudioConfig = AudioConfig()
+):
+    """S9: inverse of S8 through the heuristic mel pseudo-inverse (lossy)."""
+    _, m2l = _mel_matrices(config)
+    mag2 = jnp.exp(logmelmag2) @ m2l
+    logmag = 0.5 * jnp.log(jnp.maximum(mag2, 0.0) + config.logmel_eps)
+    mel_phase = jnp.cumsum(mel_ifreq * _PI, axis=-2)
+    phase = mel_phase @ m2l
+    ifreq = instantaneous_frequency(phase, axis=-2)
+    return logmag, ifreq
+
+
+# ---------------------------------------------------------------------------
+# S2 + composites (S11): wave <-> specgrams <-> melspecgrams <-> image
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def wave_to_specgrams(wave: jax.Array, config: AudioConfig = AudioConfig()):
+    """wave -> (log-magnitude, IF) on linear frequency bins (S1+S2+S5)."""
+    spec = stft(wave, config)
+    logmag = jnp.log(jnp.abs(spec) + config.logmel_eps)
+    phase = jnp.angle(spec)
+    ifreq = instantaneous_frequency(phase, axis=-2)
+    return logmag, ifreq
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def specgrams_to_wave(
+    logmag: jax.Array, ifreq: jax.Array, config: AudioConfig = AudioConfig()
+):
+    """(log-magnitude, IF) -> wave: phase cumsum, polar->rect, iSTFT (S10)."""
+    mag = jnp.exp(logmag)
+    phase = jnp.cumsum(ifreq * _PI, axis=-2)
+    return istft(polar_to_rect(mag, phase), config)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def wave_to_melspecgrams(wave: jax.Array, config: AudioConfig = AudioConfig()):
+    """S11 data direction: wave -> (log-mel-mag^2, mel-IF)."""
+    logmag, ifreq = wave_to_specgrams(wave, config)
+    return specgrams_to_melspecgrams(logmag, ifreq, config)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def melspecgrams_to_wave(
+    logmelmag2: jax.Array, mel_ifreq: jax.Array, config: AudioConfig = AudioConfig()
+):
+    """S11 synthesis direction: (log-mel-mag^2, mel-IF) -> wave."""
+    logmag, ifreq = melspecgrams_to_specgrams(logmelmag2, mel_ifreq, config)
+    return specgrams_to_wave(logmag, ifreq, config)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def wave_to_image(wave: jax.Array, config: AudioConfig = AudioConfig()) -> jax.Array:
+    """wave [..., 64000] -> GAN image [..., 128, 1024, 2].
+
+    Channel 0: log-mel-mag^2 linearly rescaled from
+    [logmel_min, logmel_max] to [-1, 1] (the reference's fixed
+    ``utils.scale`` map, SURVEY.md §2.2 S2). Channel 1: mel-IF (already in
+    [-1, 1]).
+    """
+    logmelmag2, mel_ifreq = wave_to_melspecgrams(wave, config)
+    ch0 = scale(logmelmag2, config.logmel_min, config.logmel_max, -1.0, 1.0)
+    return jnp.stack([ch0, mel_ifreq], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def image_to_wave(image: jax.Array, config: AudioConfig = AudioConfig()) -> jax.Array:
+    """GAN image [..., 128, 1024, 2] -> wave [..., 64000] (synthesis path)."""
+    if image.shape[-1] != 2:
+        raise ValueError(
+            f"expected a 2-channel (log-mel-mag, mel-IF) image, got "
+            f"{image.shape[-1]} channels"
+        )
+    logmelmag2 = scale(
+        image[..., 0], -1.0, 1.0, config.logmel_min, config.logmel_max
+    )
+    mel_ifreq = image[..., 1]
+    return melspecgrams_to_wave(logmelmag2, mel_ifreq, config)

@@ -1,0 +1,143 @@
+"""Configuration dataclasses for the whole framework.
+
+Every reference-derived hyperparameter lives HERE and nowhere else, per
+SURVEY.md §7 "hard parts" item 5: the reference mount was empty at survey
+time, so values tagged [K-med]/[K-low] in SURVEY.md are encoded as config
+defaults (re-verifiable constants), while tests assert only [E]-grade facts
+(shapes, pipeline stages, feature list).
+
+Provenance tags in comments refer to SURVEY.md §0's scheme.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioConfig:
+    """Spectral frontend / synthesis parameters (SURVEY.md §2.2, S1–S11)."""
+
+    sample_rate: int = 16000        # [E] NSynth 4s @ 16kHz
+    audio_length: int = 64000       # [E] 4 s of 16 kHz audio
+    frame_length: int = 2048        # [K-high] STFT window
+    frame_step: int = 512           # [K-high] 75% overlap
+    num_time_frames: int = 128      # [E] spectrogram image height
+    num_freq_bins: int = 1024       # [E] spectrogram image width (DC dropped)
+    num_mel_bins: int = 1024        # [K-high] high-frequency-resolution variant
+    mel_lower_hertz: float = 0.0    # [K-med]
+    mel_upper_hertz: float = 8000.0  # [K-med] Nyquist
+    mel_break_hertz: float = 700.0   # HTK mel scale constants
+    mel_break_mels: float = 1127.0
+    # log(mag^2 @ mel + eps) dynamic range mapped linearly onto [-1, 1]
+    # for GAN training (reference uses a fixed utils.scale map, [K-med]).
+    # log(1e-6) ~= -13.8 is the floor of the log-mel-magnitude-squared.
+    # log(1e-6) ~= -13.8 is the floor; the ceiling for full-scale audio is
+    # ~2*log(window_gain) ~= 2*log(1024) ~= 13.9 (Hann sum at 2048 taps),
+    # so [-14, 14] covers the full dynamic range symmetrically.
+    logmel_eps: float = 1e-6
+    logmel_min: float = -14.0       # config default — [K-low], re-verify
+    logmel_max: float = 14.0        # config default — [K-low], re-verify
+    # How the 3072 padding samples (67072 - 64000) are split between the
+    # two ends of the waveform before framing. SURVEY.md §7 hard-part 1
+    # flags this convention as unverifiable while the mount is empty;
+    # symmetric split minimizes edge reconstruction error.
+    pad_left_fraction: float = 0.5
+    discard_dc: bool = True         # [K-high] 1025 rFFT bins -> 1024 (DC dropped)
+
+    @property
+    def padded_length(self) -> int:
+        """Samples after padding: (frames-1)*hop + frame_length (= 67072)."""
+        return (self.num_time_frames - 1) * self.frame_step + self.frame_length
+
+    @property
+    def pad_left(self) -> int:
+        pad = self.padded_length - self.audio_length
+        return int(pad * self.pad_left_fraction)
+
+    @property
+    def pad_right(self) -> int:
+        return self.padded_length - self.audio_length - self.pad_left
+
+    @property
+    def num_rfft_bins(self) -> int:
+        return self.frame_length // 2 + 1  # 1025
+
+    @property
+    def overlap_factor(self) -> int:
+        return self.frame_length // self.frame_step  # 4
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Progressive GAN architecture (SURVEY.md §2.3–2.4)."""
+
+    latent_dim: int = 256           # [K-high]
+    num_pitches: int = 61           # [K-high] MIDI 24..84 inclusive -> 61 classes
+    pitch_min: int = 24
+    pitch_max: int = 84
+    # Stage ladder: (2,16) -> (4,32) -> ... -> (128,1024); 7 resolutions.
+    base_height: int = 2            # [K-high] base grid 2x16 (1:8 aspect)
+    base_width: int = 16
+    num_stages: int = 7             # [E] 6 doublings to 128x1024
+    num_channels: int = 2           # [E] (scaled log-mel-mag, mel-IF)
+    # Channel widths: min(fmap_base >> stage, fmap_max)  [K-med]
+    fmap_base: int = 4096
+    fmap_max: int = 256
+    fmap_min: int = 32
+    leaky_relu_slope: float = 0.2   # [K-med]
+    pixelnorm_eps: float = 1e-8
+    mbstd_eps: float = 1e-8
+    mbstd_group_size: int = 4       # stddev computed over groups of this size
+    generator_output: str = "tanh"  # [K-med] bounded output for the GAN image
+
+    def stage_resolution(self, stage: int) -> Tuple[int, int]:
+        """(height, width) of the spectrogram image at ``stage`` (0-based)."""
+        return (self.base_height << stage, self.base_width << stage)
+
+    def stage_channels(self, stage: int) -> int:
+        """Feature-map width of the trunk block at ``stage``."""
+        return max(min(self.fmap_base >> stage, self.fmap_max), self.fmap_min)
+
+    @property
+    def final_resolution(self) -> Tuple[int, int]:
+        return self.stage_resolution(self.num_stages - 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Losses, optimizers, progressive schedule (SURVEY.md §2.5)."""
+
+    batch_size: int = 8             # global batch
+    learning_rate: float = 8e-4     # [K-med] paper/magenta default
+    adam_beta1: float = 0.0         # [K-med]
+    adam_beta2: float = 0.99        # [K-med]
+    adam_eps: float = 1e-8
+    gp_weight: float = 10.0         # [K-high] WGAN-GP lambda
+    drift_weight: float = 1e-3      # [K-med] PGGAN epsilon-drift
+    aux_pitch_weight: float = 10.0  # [K-med] AC-GAN pitch CE weight
+    ema_decay: float = 0.999        # [K-med]
+    # Progressive schedule: each stage > 0 fades in over `fade_steps`, then
+    # stabilizes for `stable_steps`. Stage 0 has no fade.
+    fade_steps: int = 800_000
+    stable_steps: int = 800_000
+    seed: int = 0
+    checkpoint_every: int = 2000
+    log_every: int = 100
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    audio: AudioConfig = dataclasses.field(default_factory=AudioConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+
+def scale(x, in_min, in_max, out_min, out_max):
+    """Linear range map (the reference's ``utils.scale``, SURVEY.md §1 util row).
+
+    Maps ``in_min -> out_min`` and ``in_max -> out_max`` linearly; does NOT
+    clip, so it is exactly invertible by swapping the ranges.
+    """
+    return out_min + (x - in_min) * (out_max - out_min) / (in_max - in_min)
