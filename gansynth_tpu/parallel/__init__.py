@@ -1,0 +1,7 @@
+from gansynth_tpu.parallel.sharding import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_train_inputs,
+    jit_train_step_for_mesh,
+)

@@ -1,0 +1,77 @@
+"""Data-parallel sharding over a TPU slice (SURVEY.md §2.7–2.8, §7 step 5).
+
+The communication "backend" of this framework is deliberately thin — the
+TPU-native replacement for per-rank NCCL code is GSPMD partitioning:
+
+- a 1-D ``data`` mesh over all devices (``jax.make_mesh``),
+- parameters/optimizer/EMA state replicated (``P()``),
+- the (wave, pitch) batch sharded on its leading axis (``P('data')``),
+- ``jax.jit`` with those shardings; XLA inserts the gradient all-reduces
+  and the cross-replica collectives for global batch statistics (losses,
+  minibatch stddev) over ICI automatically.
+
+Because every reduction in the step is a global-batch mean, the sharded
+step is numerically equivalent to a single-device step on the same global
+batch — asserted by tests/test_parallel.py on an 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D data-parallel mesh over ``devices`` (default: all).
+
+    Axis type Auto: the step function is written sharding-agnostic and
+    GSPMD infers intermediate shardings / inserts collectives (explicit
+    mode would require reshard annotations at every replicated/sharded
+    meeting point, e.g. latents x labels).
+    """
+    devices = list(jax.devices()) if devices is None else list(devices)
+    return jax.make_mesh(
+        (len(devices),),
+        ("data",),
+        devices=devices,
+        axis_types=(jax.sharding.AxisType.Auto,),
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_train_inputs(mesh: Mesh, state, wave, pitch):
+    """Place state replicated and the batch sharded on the mesh.
+
+    The global batch size must divide the mesh size. Returns device
+    arrays; pass them to the jitted step.
+    """
+    n = mesh.devices.size
+    if wave.shape[0] % n:
+        raise ValueError(
+            f"global batch {wave.shape[0]} must divide mesh size {n}"
+        )
+    rep, shard = replicated_sharding(mesh), batch_sharding(mesh)
+    state = jax.device_put(state, rep)
+    return state, jax.device_put(wave, shard), jax.device_put(pitch, shard)
+
+
+def jit_train_step_for_mesh(step_fn: Callable, mesh: Mesh):
+    """Jit a ``(state, wave, pitch, alpha) -> (state, metrics)`` step with
+    explicit DP shardings (donating the state buffer)."""
+    rep, shard = replicated_sharding(mesh), batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, shard, shard, None),
+        out_shardings=(rep, rep),
+        donate_argnums=0,
+    )

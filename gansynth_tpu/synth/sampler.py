@@ -1,0 +1,68 @@
+"""The fully-jitted latent+pitch -> waveform sampler (SURVEY.md §3.2).
+
+One XLA program runs the whole synthesis path on device:
+
+    z ~ N(0, I), pitch one-hot
+    -> generator (EMA params) -> 128x1024x2 mel-IF image
+    -> mel pseudo-inverse (S9) -> IF*pi cumsum phase (S10)
+    -> inverse STFT (synthesis window OLA) -> 64000-sample waveform
+
+This path's throughput is the north-star metric (x-real-time per chip);
+``bench.py`` times it steady-state with ``block_until_ready``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gansynth_tpu.models import Generator
+from gansynth_tpu.models.layers import upsample_nearest
+from gansynth_tpu.ops.spectral import image_to_wave
+from gansynth_tpu.train.step import pitch_to_onehot
+from gansynth_tpu.utils.config import Config
+
+
+def make_sampler(config: Config, stage: Optional[int] = None):
+    """Build ``sample(params, key, pitch) -> (wave [B, 64000], image)``.
+
+    ``params`` are generator (usually EMA) params; ``pitch`` is MIDI ints
+    [B]. Stage defaults to the final 128x1024 resolution. Jitted with the
+    batch size static per compile (shapes static under XLA).
+    """
+    stage = config.model.num_stages - 1 if stage is None else stage
+    g = Generator(config.model)
+
+    @jax.jit
+    def sample(params, key: jax.Array, pitch: jax.Array):
+        z = jax.random.normal(
+            key, (pitch.shape[0], config.model.latent_dim), jnp.float32
+        )
+        labels = pitch_to_onehot(pitch, config)
+        image = g.apply(params, z, labels, stage, jnp.float32(1.0))
+        # Spectral synthesis needs the full 128x1024 grid; below the final
+        # stage, nearest-upsample the image first (debug/listen path — the
+        # reference's generate mode only runs at the final stage).
+        factor = 1 << (config.model.num_stages - 1 - stage)
+        full = upsample_nearest(image, factor) if factor > 1 else image
+        wave = image_to_wave(full, config.audio)
+        return wave, image
+
+    return sample
+
+
+class Sampler:
+    """Convenience wrapper holding config + generator params (C3 path:
+    restore EMA params from checkpoint, then ``sampler(key, pitches)``)."""
+
+    def __init__(self, config: Config, params, stage: Optional[int] = None):
+        self.config = config
+        self.params = params
+        self._sample = make_sampler(config, stage)
+
+    def __call__(self, key: jax.Array, pitch) -> Tuple[jax.Array, jax.Array]:
+        pitch = jnp.asarray(pitch, jnp.int32)
+        return self._sample(self.params, key, pitch)

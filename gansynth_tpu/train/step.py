@@ -1,0 +1,145 @@
+"""The jitted WGAN-GP training step (SURVEY.md §2.5 T1–T6, §3.1).
+
+One call = one full iteration, entirely on device: spectral frontend on
+the raw waveform batch (on-device preprocessing — no host-side Python hot
+loop), one discriminator update (3 critic passes: real, fake, gradient-
+penalty interpolates, with second-order gradients through the critic),
+one generator update against the refreshed critic, and the EMA update.
+
+``stage`` is baked in statically (one compile per stage, 7 total);
+``alpha`` is traced so fade-in never recompiles. The function is pure
+``(state, wave, pitch, alpha) -> (state, metrics)`` — under ``jax.jit``
+with a replicated state and a batch-sharded wave/pitch it runs
+data-parallel over any mesh with XLA inserting the gradient/stat
+collectives (SURVEY.md §2.7–2.8); all batch statistics (losses, minibatch
+stddev) are then global-batch statistics, identical to a single-device run
+on the same global batch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gansynth_tpu.models import Discriminator, Generator
+from gansynth_tpu.models.layers import downsample_avg
+from gansynth_tpu.ops.spectral import wave_to_image
+from gansynth_tpu.train import losses
+from gansynth_tpu.train.state import TrainState, ema_update, make_optimizer
+from gansynth_tpu.utils.config import Config
+
+
+def real_image_for_stage(wave: jax.Array, stage: int, config: Config) -> jax.Array:
+    """Frontend + progressive downsampling: wave [B, T] -> image at the
+    stage's resolution (full-res mel-IF image average-pooled down)."""
+    image = wave_to_image(wave, config.audio)
+    factor = 1 << (config.model.num_stages - 1 - stage)
+    if factor > 1:
+        image = downsample_avg(image, factor)
+    return image
+
+
+def pitch_to_onehot(pitch: jax.Array, config: Config) -> jax.Array:
+    """MIDI pitch [B] -> one-hot [B, num_pitches] (D2: pitches 24..84)."""
+    idx = jnp.clip(
+        pitch.astype(jnp.int32) - config.model.pitch_min,
+        0,
+        config.model.num_pitches - 1,
+    )
+    return jax.nn.one_hot(idx, config.model.num_pitches, dtype=jnp.float32)
+
+
+def make_train_step(
+    config: Config, stage: int
+) -> Callable[[TrainState, jax.Array, jax.Array, jax.Array],
+              Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Build the (un-jitted) step function for ``stage``. Jit it with
+    ``jax.jit(step, donate_argnums=0)``; shard inputs for data parallelism.
+    """
+    m, t = config.model, config.train
+    g = Generator(m)
+    d = Discriminator(m)
+    opt = make_optimizer(config)
+
+    def step_fn(
+        state: TrainState, wave: jax.Array, pitch: jax.Array, alpha: jax.Array
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        # Deterministic per-step RNG: the state key is the run's seed; the
+        # step index folds in per-iteration variation, so resume replays
+        # the identical stream.
+        base = jax.random.fold_in(state.rng, state.step)
+        k_zd, k_interp, k_zg = jax.random.split(base, 3)
+
+        labels = pitch_to_onehot(pitch, config)
+        real = real_image_for_stage(wave.astype(jnp.float32), stage, config)
+        batch = real.shape[0]
+
+        # ----- discriminator update (T1 + T2 + T3) -----
+        z_d = jax.random.normal(k_zd, (batch, m.latent_dim), jnp.float32)
+
+        def d_loss_fn(d_params):
+            fake = g.apply(state.g_params, z_d, labels, stage, alpha)
+            fake = jax.lax.stop_gradient(fake)
+
+            def critic_fn(x):
+                return d.apply(d_params, x, stage, alpha)
+
+            c_real, logits_real = critic_fn(real)
+            c_fake, _ = critic_fn(fake)
+            wgan = losses.wgan_critic_loss(c_real, c_fake)
+            gp = losses.gradient_penalty(critic_fn, real, fake, k_interp)
+            drift = losses.drift_penalty(c_real)
+            ce = losses.pitch_cross_entropy(logits_real, labels)
+            loss = wgan + t.gp_weight * gp + t.drift_weight * drift \
+                + t.aux_pitch_weight * ce
+            metrics = {
+                "d_loss": loss,
+                "wgan": wgan,
+                "gradient_penalty": gp,
+                "drift": drift,
+                "d_pitch_ce": ce,
+                "critic_real": jnp.mean(c_real),
+                "critic_fake": jnp.mean(c_fake),
+            }
+            return loss, metrics
+
+        (_, d_metrics), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params
+        )
+        d_updates, d_opt = opt.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ----- generator update (fresh latents, refreshed critic) -----
+        z_g = jax.random.normal(k_zg, (batch, m.latent_dim), jnp.float32)
+
+        def g_loss_fn(g_params):
+            fake = g.apply(g_params, z_g, labels, stage, alpha)
+            c_fake, logits_fake = d.apply(d_params, fake, stage, alpha)
+            adv = losses.generator_adversarial_loss(c_fake)
+            ce = losses.pitch_cross_entropy(logits_fake, labels)
+            loss = adv + t.aux_pitch_weight * ce
+            return loss, {"g_loss": loss, "g_adv": adv, "g_pitch_ce": ce}
+
+        (_, g_metrics), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params
+        )
+        g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        ema_params = ema_update(state.ema_params, g_params, t.ema_decay)
+
+        new_state = TrainState(
+            g_params=g_params,
+            d_params=d_params,
+            g_opt=g_opt,
+            d_opt=d_opt,
+            ema_params=ema_params,
+            rng=state.rng,
+            step=state.step + 1,
+        )
+        return new_state, {**d_metrics, **g_metrics, "alpha": alpha}
+
+    return step_fn

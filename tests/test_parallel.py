@@ -1,0 +1,112 @@
+"""Distributed tests without a cluster (SURVEY.md §4 item 4): the
+data-parallel step on an 8-device virtual CPU mesh must equal the
+single-device step on the same global batch."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gansynth_tpu.parallel import (
+    batch_sharding,
+    jit_train_step_for_mesh,
+    make_mesh,
+    replicated_sharding,
+    shard_train_inputs,
+)
+from gansynth_tpu.train import create_train_state, make_train_step
+from gansynth_tpu.utils.config import Config, ModelConfig, TrainConfig
+
+CFG = Config(
+    model=ModelConfig(latent_dim=8, fmap_base=64, fmap_max=16, fmap_min=8),
+    train=TrainConfig(batch_size=8),
+)
+STAGE = 1
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(7)
+    t = np.arange(CFG.audio.audio_length) / CFG.audio.sample_rate
+    freqs = 220.0 * 2 ** (np.arange(8) / 4)
+    waves = np.stack([np.sin(2 * np.pi * f * t) for f in freqs]).astype(np.float32)
+    waves += 0.01 * rng.standard_normal(waves.shape).astype(np.float32)
+    pitch = np.arange(40, 48, dtype=np.int32)
+    return jnp.asarray(waves), jnp.asarray(pitch)
+
+
+def leaves_as_numpy(tree):
+    out = []
+    for leaf in jax.tree.leaves(tree, is_leaf=lambda x: hasattr(x, "dtype")):
+        if jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key):
+            leaf = jax.random.key_data(leaf)
+        out.append(np.asarray(leaf))
+    return out
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
+
+
+def test_dp_step_equals_single_device(batch):
+    """The GSPMD-partitioned step must reproduce the single-device step on
+    the same global batch to float tolerance (psum correctness)."""
+    waves, pitch = batch
+    step_fn = make_train_step(CFG, STAGE)
+
+    state1 = create_train_state(CFG, seed=0)
+    single = jax.jit(step_fn)
+    s1, m1 = single(state1, waves, pitch, jnp.float32(0.7))
+
+    mesh = make_mesh()
+    state8 = create_train_state(CFG, seed=0)
+    dp = jit_train_step_for_mesh(step_fn, mesh)
+    st, w, p = shard_train_inputs(mesh, state8, waves, pitch)
+    s8, m8 = dp(st, w, p, jnp.float32(0.7))
+
+    for k in m1:
+        np.testing.assert_allclose(
+            np.asarray(m1[k]), np.asarray(m8[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"metric {k}",
+        )
+    for a, b in zip(leaves_as_numpy(s1), leaves_as_numpy(s8)):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
+def test_dp_two_meshes_agree(batch):
+    """2-device and 8-device shardings agree (device-count independence)."""
+    waves, pitch = batch
+    step_fn = make_train_step(CFG, STAGE)
+
+    results = []
+    for n in (2, 8):
+        mesh = make_mesh(jax.devices()[:n])
+        state = create_train_state(CFG, seed=3)
+        dp = jit_train_step_for_mesh(step_fn, mesh)
+        st, w, p = shard_train_inputs(mesh, state, waves, pitch)
+        s, m = dp(st, w, p, jnp.float32(1.0))
+        results.append((leaves_as_numpy(s), m))
+    for a, b in zip(results[0][0], results[1][0]):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
+def test_indivisible_batch_rejected(batch):
+    waves, pitch = batch
+    mesh = make_mesh()
+    state = create_train_state(CFG, seed=0)
+    with pytest.raises(ValueError):
+        shard_train_inputs(mesh, state, waves[:6], pitch[:6])
+
+
+def test_output_shardings(batch):
+    """The updated state comes back replicated (ready for the next step)."""
+    waves, pitch = batch
+    mesh = make_mesh()
+    step_fn = make_train_step(CFG, STAGE)
+    dp = jit_train_step_for_mesh(step_fn, mesh)
+    st, w, p = shard_train_inputs(mesh, state := create_train_state(CFG, 0), waves, pitch)
+    s8, _ = dp(st, w, p, jnp.float32(1.0))
+    leaf = jax.tree.leaves(s8.g_params)[0]
+    assert leaf.sharding.is_fully_replicated

@@ -1,0 +1,49 @@
+"""Full-res pitch-conditional sampling tests (driver config 3)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gansynth_tpu.synth import Sampler, make_sampler
+from gansynth_tpu.train import create_train_state
+from gansynth_tpu.utils.config import Config, ModelConfig, TrainConfig
+
+CFG = Config(
+    model=ModelConfig(latent_dim=8, fmap_base=64, fmap_max=16, fmap_min=8),
+    train=TrainConfig(batch_size=2),
+)
+
+
+@pytest.fixture(scope="module")
+def state():
+    return create_train_state(CFG, seed=0)
+
+
+def test_full_res_sample_shapes(state):
+    sampler = Sampler(CFG, state.ema_params)  # final stage: 128 x 1024
+    wave, image = sampler(jax.random.key(0), [40, 60])
+    assert image.shape == (2, 128, 1024, 2)
+    assert wave.shape == (2, CFG.audio.audio_length)
+    assert np.isfinite(np.asarray(wave)).all()
+
+
+def test_sample_deterministic_per_key(state):
+    sampler = Sampler(CFG, state.ema_params)
+    w1, _ = sampler(jax.random.key(5), [50])
+    w2, _ = sampler(jax.random.key(5), [50])
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    w3, _ = sampler(jax.random.key(6), [50])
+    assert np.abs(np.asarray(w1) - np.asarray(w3)).max() > 0
+
+
+def test_low_stage_sampler(state):
+    sample = make_sampler(CFG, stage=2)
+    wave, image = sample(state.ema_params, jax.random.key(0),
+                         jnp.asarray([30], jnp.int32))
+    # below the final stage the image is stage-sized and the wave comes
+    # from its nearest-upsampled full-res version (debug/listen path)
+    assert image.shape[1:3] == CFG.model.stage_resolution(2)
+    assert wave.shape == (1, CFG.audio.audio_length)
+    assert np.isfinite(np.asarray(wave)).all()
