@@ -1,0 +1,108 @@
+"""North-star benchmark: latent+pitch -> waveform synthesis throughput,
+x-real-time per chip (BASELINE.md / SURVEY.md §6).
+
+Runs the fully-jitted full-resolution synthesis path (generator at
+128x1024 + mel pseudo-inverse + phase cumsum + iSTFT) steady-state on the
+default JAX device and prints ONE JSON line:
+
+    {"metric": "synthesis_x_realtime_per_chip", "value": N,
+     "unit": "x_realtime", "vs_baseline": N / 50}
+
+Baseline: the target from BASELINE.json — >= 50x real-time per chip
+(the reference publishes no numbers of its own; 50x is the binding bar).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--scan-iters", type=int, default=16,
+                        help="synthesis batches per timed device program")
+    parser.add_argument("--repeats", type=int, default=5)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gansynth_tpu.models import Generator
+    from gansynth_tpu.ops.spectral import image_to_wave
+    from gansynth_tpu.train.step import pitch_to_onehot
+    from gansynth_tpu.utils.config import Config
+
+    config = Config()
+    m = config.model
+    stage = m.num_stages - 1
+    g = Generator(m)
+
+    rng = np.random.default_rng(0)
+    params = g.init(
+        jax.random.key(0),
+        jnp.zeros((1, m.latent_dim), jnp.float32),
+        jnp.zeros((1, m.num_pitches), jnp.float32),
+        stage,
+    )
+
+    def synthesize(z, pitch):
+        labels = pitch_to_onehot(pitch, config)
+        image = g.apply(params, z, labels, stage, jnp.float32(1.0))
+        return image_to_wave(image, config.audio)
+
+    # Amortized on-device measurement: scan `scan_iters` synthesis batches
+    # (fresh latents each, so no CSE collapses the loop) inside ONE device
+    # program, returning only a scalar checksum. This times chip execution
+    # rather than host<->device transfer or per-dispatch overhead — on this
+    # machine the TPU is reached through a tunnel whose `block_until_ready`
+    # does not block and whose array transfers are orders slower than the
+    # chip, so per-call host timing is meaningless.
+    pitch = jnp.asarray(rng.integers(24, 85, args.batch), jnp.int32)
+
+    @jax.jit
+    def synth_many(key, pitch):
+        def body(carry, k):
+            z = jax.random.normal(k, (args.batch, m.latent_dim), jnp.float32)
+            wave = synthesize(z, pitch)
+            return carry + jnp.sum(wave[:, :: 4096]), None
+        keys = jax.random.split(key, args.scan_iters)
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
+        return acc
+
+    # compile + warmup (fetch the scalar: the only reliable barrier here)
+    float(synth_many(jax.random.key(0), pitch))
+
+    times = []
+    for i in range(args.repeats):
+        t0 = time.perf_counter()
+        checksum = float(synth_many(jax.random.key(i), pitch))
+        times.append(time.perf_counter() - t0)
+        assert np.isfinite(checksum)
+
+    seconds_of_audio = (
+        args.scan_iters
+        * args.batch
+        * (config.audio.audio_length / config.audio.sample_rate)
+    )
+    wall = float(np.median(times))
+    x_rt = seconds_of_audio / wall
+    print(
+        json.dumps(
+            {
+                "metric": "synthesis_x_realtime_per_chip",
+                "value": round(x_rt, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(x_rt / 50.0, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

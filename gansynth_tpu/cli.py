@@ -1,0 +1,204 @@
+"""Command-line entry point (SURVEY.md §2.6, C1–C3).
+
+Subcommands mirror the reference's modes plus the framework's own tooling:
+
+- ``train``     — progressive WGAN-GP training from NSynth TFRecords (or
+                  synthetic fixtures with ``--synthetic``), checkpointed
+                  and resumable.
+- ``generate``  — restore the EMA generator and write pitch-conditioned
+                  ``.wav`` samples (C3).
+- ``roundtrip`` — wave -> mel-IF image -> wave fidelity check on a WAV
+                  file or a synthetic tone (driver config 1).
+- ``fixtures``  — write synthetic NSynth-like TFRecords.
+
+Run as ``python -m gansynth_tpu.cli <subcommand> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+from gansynth_tpu.utils.config import AudioConfig, Config, ModelConfig, TrainConfig
+
+
+def _build_config(args) -> Config:
+    train = TrainConfig(
+        batch_size=args.batch_size,
+        learning_rate=args.learning_rate,
+        fade_steps=args.fade_steps,
+        stable_steps=args.stable_steps,
+        seed=args.seed,
+        checkpoint_every=args.checkpoint_every,
+        log_every=args.log_every,
+    )
+    model = ModelConfig(
+        latent_dim=args.latent_dim,
+        fmap_base=args.fmap_base,
+        fmap_max=args.fmap_max,
+    )
+    return Config(model=model, train=train)
+
+
+def _add_common_train_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--learning-rate", type=float, default=8e-4)
+    p.add_argument("--latent-dim", type=int, default=256)
+    p.add_argument("--fmap-base", type=int, default=4096)
+    p.add_argument("--fmap-max", type=int, default=256)
+    p.add_argument("--fade-steps", type=int, default=800_000)
+    p.add_argument("--stable-steps", type=int, default=800_000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint-every", type=int, default=2000)
+    p.add_argument("--log-every", type=int, default=100)
+
+
+def cmd_train(args) -> int:
+    import jax
+
+    from gansynth_tpu.data import make_nsynth_iterator, write_synthetic_tfrecords
+    from gansynth_tpu.train.loop import train
+
+    config = _build_config(args)
+    files = list(args.data or [])
+    if args.synthetic and not files:
+        path = os.path.join(tempfile.gettempdir(), "gansynth_fixtures.tfrecord")
+        write_synthetic_tfrecords(path, num_examples=256, seed=config.train.seed)
+        files = [path]
+    if not files:
+        print("error: pass --data <tfrecord...> or --synthetic", file=sys.stderr)
+        return 2
+
+    data = make_nsynth_iterator(
+        files, config, acoustic_only=not args.synthetic, seed=config.train.seed
+    )
+    state = train(
+        config,
+        data,
+        num_steps=args.num_steps,
+        workdir=args.model_dir,
+        use_mesh=args.data_parallel,
+    )
+    print(f"trained to step {int(state.step)}; checkpoints in "
+          f"{args.model_dir}/checkpoints")
+    return 0
+
+
+def cmd_generate(args) -> int:
+    import jax
+
+    from gansynth_tpu.synth import Sampler
+    from gansynth_tpu.train.state import create_train_state
+    from gansynth_tpu.utils.audio_io import write_wav
+    from gansynth_tpu.utils.checkpoint import Checkpointer
+
+    config = _build_config(args)
+    template = create_train_state(config)
+    ckpt = Checkpointer(os.path.join(args.model_dir, "checkpoints"))
+    state, step = ckpt.restore(template)
+    print(f"restored EMA generator from step {step}")
+
+    pitches = [int(p) for p in args.pitches]
+    sampler = Sampler(config, state.ema_params)
+    os.makedirs(args.output_dir, exist_ok=True)
+    key = jax.random.key(args.seed)
+    for i in range(args.num_samples):
+        key, sub = jax.random.split(key)
+        waves, _ = sampler(sub, pitches)
+        for pitch, wave in zip(pitches, np.asarray(waves)):
+            out = os.path.join(args.output_dir, f"sample_{i}_pitch{pitch}.wav")
+            write_wav(out, wave, config.audio.sample_rate)
+            print(out)
+    return 0
+
+
+def cmd_roundtrip(args) -> int:
+    import jax.numpy as jnp
+
+    from gansynth_tpu.data.fixtures import synthesize_note
+    from gansynth_tpu.ops import image_to_wave, wave_to_image
+    from gansynth_tpu.utils.audio_io import read_wav, write_wav
+
+    audio_cfg = AudioConfig()
+    if args.input:
+        wave, sr = read_wav(args.input)
+        if sr != audio_cfg.sample_rate:
+            print(f"error: expected {audio_cfg.sample_rate} Hz, got {sr}",
+                  file=sys.stderr)
+            return 2
+        n = audio_cfg.audio_length
+        wave = np.pad(wave[:n], (0, max(0, n - wave.size)))
+    else:
+        wave = synthesize_note(args.pitch)
+    img = wave_to_image(jnp.asarray(wave[None]), audio_cfg)
+    recon = np.asarray(image_to_wave(img, audio_cfg))[0]
+    err = wave - recon
+    snr = 10 * np.log10(np.sum(wave**2) / max(np.sum(err**2), 1e-30))
+    print(f"mel-IF image: {tuple(img.shape)}; roundtrip SNR: {snr:.2f} dB "
+          f"(mel pseudo-inverse is lossy by design)")
+    if args.output:
+        write_wav(args.output, recon, audio_cfg.sample_rate)
+        print(args.output)
+    return 0
+
+
+def cmd_fixtures(args) -> int:
+    from gansynth_tpu.data import write_synthetic_tfrecords
+
+    path = write_synthetic_tfrecords(
+        args.output, num_examples=args.num_examples, seed=args.seed
+    )
+    print(path)
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="gansynth_tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train", help="progressive WGAN-GP training")
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--data", nargs="*", help="NSynth TFRecord files")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on generated fixtures (smoke testing)")
+    p.add_argument("--num-steps", type=int, default=None)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch over all visible devices")
+    _add_common_train_flags(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("generate", help="sample .wav files from a checkpoint")
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--pitches", nargs="+", default=["60"],
+                   help="MIDI pitches (24..84)")
+    p.add_argument("--num-samples", type=int, default=1)
+    _add_common_train_flags(p)
+    p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser("roundtrip", help="wave -> mel-IF -> wave check")
+    p.add_argument("--input", help="16 kHz mono wav (default: synthetic note)")
+    p.add_argument("--pitch", type=int, default=60)
+    p.add_argument("--output", help="write reconstructed wav here")
+    p.set_defaults(fn=cmd_roundtrip)
+
+    p = sub.add_parser("fixtures", help="write synthetic NSynth TFRecords")
+    p.add_argument("--output", required=True)
+    p.add_argument("--num-examples", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_fixtures)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

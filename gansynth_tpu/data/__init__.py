@@ -1,0 +1,9 @@
+from gansynth_tpu.data.nsynth import (  # noqa: F401
+    NSYNTH_FEATURES,
+    make_nsynth_iterator,
+    prefetch_to_mesh,
+)
+from gansynth_tpu.data.fixtures import (  # noqa: F401
+    synthesize_note,
+    write_synthetic_tfrecords,
+)

@@ -1,0 +1,140 @@
+"""NSynth TFRecord ingest (SURVEY.md §2.1, D1–D3).
+
+Host-side tf.data pipeline: parse -> filter (acoustic subset, pitch range)
+-> shuffle -> repeat -> batch -> prefetch, yielding numpy (waveform,
+pitch) batches. ALL spectral math happens on device inside the jitted
+train step (SURVEY.md §2.9's boundary: "all math moves on-device"); the
+host only decodes bytes. TF is imported lazily so the rest of the
+framework has no TF dependency.
+
+``prefetch_to_mesh`` overlaps host decode with device compute by keeping a
+small queue of batches already transferred (sharded) onto the mesh —
+the double-buffered infeed from SURVEY.md §7 step 5.
+"""
+
+from __future__ import annotations
+
+import collections
+import itertools
+from typing import Iterable, Iterator, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from gansynth_tpu.utils.config import Config
+
+# The NSynth example schema (fields the reference family consumes).
+NSYNTH_FEATURES = {
+    "audio": ("float32", 64000),
+    "pitch": ("int64", 1),
+    "velocity": ("int64", 1),
+    "instrument_family": ("int64", 1),
+    "instrument_source": ("int64", 1),
+    "qualities": ("int64", 10),
+}
+
+
+def _make_tf_dataset(
+    files: Sequence[str],
+    config: Config,
+    *,
+    batch_size: int,
+    shuffle: bool = True,
+    repeat: bool = True,
+    acoustic_only: bool = True,
+    shuffle_buffer: int = 4096,
+    seed: int = 0,
+    num_shards: int = 1,
+    shard_index: int = 0,
+):
+    import tensorflow as tf
+
+    audio_len = config.audio.audio_length
+    spec = {
+        "audio": tf.io.FixedLenFeature([audio_len], tf.float32),
+        "pitch": tf.io.FixedLenFeature([], tf.int64),
+        "instrument_source": tf.io.FixedLenFeature([], tf.int64, 0),
+    }
+
+    ds = tf.data.TFRecordDataset(list(files), num_parallel_reads=tf.data.AUTOTUNE)
+    if num_shards > 1:
+        ds = ds.shard(num_shards, shard_index)
+    ds = ds.map(
+        lambda raw: tf.io.parse_single_example(raw, spec),
+        num_parallel_calls=tf.data.AUTOTUNE,
+    )
+    lo, hi = config.model.pitch_min, config.model.pitch_max
+    ds = ds.filter(
+        lambda ex: tf.logical_and(ex["pitch"] >= lo, ex["pitch"] <= hi)
+    )
+    if acoustic_only:
+        # NSynth instrument_source: 0 = acoustic, 1 = electronic, 2 = synthetic.
+        ds = ds.filter(lambda ex: tf.equal(ex["instrument_source"], 0))
+    ds = ds.map(
+        lambda ex: (ex["audio"], tf.cast(ex["pitch"], tf.int32)),
+        num_parallel_calls=tf.data.AUTOTUNE,
+    )
+    if shuffle:
+        ds = ds.shuffle(shuffle_buffer, seed=seed, reshuffle_each_iteration=True)
+    if repeat:
+        ds = ds.repeat()
+    ds = ds.batch(batch_size, drop_remainder=True)
+    return ds.prefetch(tf.data.AUTOTUNE)
+
+
+def make_nsynth_iterator(
+    files: Sequence[str],
+    config: Config,
+    *,
+    batch_size: Optional[int] = None,
+    shuffle: bool = True,
+    repeat: bool = True,
+    acoustic_only: bool = True,
+    shuffle_buffer: int = 4096,
+    seed: int = 0,
+    num_shards: int = 1,
+    shard_index: int = 0,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yields numpy (wave [B, 64000] f32, pitch [B] i32) batches."""
+    ds = _make_tf_dataset(
+        files,
+        config,
+        batch_size=batch_size or config.train.batch_size,
+        shuffle=shuffle,
+        repeat=repeat,
+        acoustic_only=acoustic_only,
+        shuffle_buffer=shuffle_buffer,
+        seed=seed,
+        num_shards=num_shards,
+        shard_index=shard_index,
+    )
+    for wave, pitch in ds.as_numpy_iterator():
+        yield wave, pitch
+
+
+def prefetch_to_mesh(
+    it: Iterable[Tuple[np.ndarray, np.ndarray]],
+    mesh,
+    *,
+    depth: int = 2,
+) -> Iterator[Tuple[jax.Array, jax.Array]]:
+    """Double-buffered device infeed: keep ``depth`` batches already
+    device_put with the mesh's batch sharding while the step consumes the
+    head of the queue."""
+    from gansynth_tpu.parallel.sharding import batch_sharding
+
+    sharding = batch_sharding(mesh)
+    queue = collections.deque()
+    it = iter(it)
+    for wave, pitch in itertools.islice(it, depth):
+        queue.append(
+            (jax.device_put(wave, sharding), jax.device_put(pitch, sharding))
+        )
+    while queue:
+        head = queue.popleft()
+        nxt = next(it, None)
+        if nxt is not None:
+            queue.append(
+                (jax.device_put(nxt[0], sharding), jax.device_put(nxt[1], sharding))
+            )
+        yield head

@@ -1,0 +1,74 @@
+"""Orbax checkpointing of the full training state (SURVEY.md §5).
+
+A checkpoint carries ``{g_params, d_params, g_opt, d_opt, ema_params,
+rng, step}`` — everything needed to resume ``(step, stage, alpha)``
+exactly, since stage/alpha are pure functions of ``step`` via the
+schedule. Because the parameter tree is stage-independent (see
+models/generator.py), restores work across stage boundaries with no shape
+surgery.
+
+Typed PRNG keys are converted to raw key data on save and re-wrapped on
+restore (orbax serializes plain arrays).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from gansynth_tpu.train.state import TrainState
+
+
+def _unwrap_keys(state: TrainState) -> TrainState:
+    return state.replace(rng=jax.random.key_data(state.rng))
+
+
+def _wrap_keys(state: TrainState) -> TrainState:
+    # No np.asarray: stays a device array (host transfers of small non-f32
+    # arrays can be pathologically slow through tunneled TPU backends).
+    return state.replace(rng=jax.random.wrap_key_data(state.rng))
+
+
+class Checkpointer:
+    """Thin orbax CheckpointManager wrapper for TrainState."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self._dir = os.path.abspath(directory)
+        os.makedirs(self._dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self._dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state: TrainState, *, wait: bool = False) -> None:
+        self._mgr.save(
+            step, args=ocp.args.StandardSave(_unwrap_keys(state))
+        )
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(
+        self, template: TrainState, step: Optional[int] = None
+    ) -> Tuple[TrainState, int]:
+        """Restore into the (abstract) structure of ``template``."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self._dir}")
+        abstract = jax.tree.map(
+            ocp.utils.to_shape_dtype_struct, _unwrap_keys(template)
+        )
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+        return _wrap_keys(restored), step
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()

@@ -1,0 +1,85 @@
+"""Checkpoint/resume tests (SURVEY.md §5): save -> restore equivalence,
+resume mid-run determinism, cross-device-count restore."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gansynth_tpu.train import create_train_state, make_train_step
+from gansynth_tpu.utils.checkpoint import Checkpointer
+from gansynth_tpu.utils.config import Config, ModelConfig, TrainConfig
+
+CFG = Config(
+    model=ModelConfig(latent_dim=8, fmap_base=64, fmap_max=16, fmap_min=8),
+    train=TrainConfig(batch_size=2),
+)
+
+
+def tiny_batch():
+    rng = np.random.default_rng(0)
+    wave = (0.1 * rng.standard_normal((2, 64000))).astype(np.float32)
+    pitch = np.array([50, 60], dtype=np.int32)
+    return jnp.asarray(wave), jnp.asarray(pitch)
+
+
+def assert_states_equal(a, b):
+    la = jax.tree.leaves(a, is_leaf=lambda x: hasattr(x, "dtype"))
+    lb = jax.tree.leaves(b, is_leaf=lambda x: hasattr(x, "dtype"))
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            x, y = jax.random.key_data(x), jax.random.key_data(y)
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_save_restore_roundtrip(tmp_path):
+    state = create_train_state(CFG, seed=0)
+    ckpt = Checkpointer(str(tmp_path / "ck"))
+    ckpt.save(0, state, wait=True)
+    template = create_train_state(CFG, seed=123)  # different values, same tree
+    restored, step = ckpt.restore(template)
+    assert step == 0
+    assert_states_equal(state, restored)
+
+
+def test_resume_bitwise_equals_straight_run(tmp_path):
+    """train 2 steps == train 1, checkpoint, restore, train 1 (SURVEY §5)."""
+    wave, pitch = tiny_batch()
+    step = jax.jit(make_train_step(CFG, 1))
+
+    s = create_train_state(CFG, seed=0)
+    s_direct, _ = step(s, wave, pitch, jnp.float32(1.0))
+    s_direct, _ = step(s_direct, wave, pitch, jnp.float32(1.0))
+
+    s2 = create_train_state(CFG, seed=0)
+    s2, _ = step(s2, wave, pitch, jnp.float32(1.0))
+    ckpt = Checkpointer(str(tmp_path / "ck"))
+    ckpt.save(1, s2, wait=True)
+    restored, at = ckpt.restore(create_train_state(CFG, seed=9))
+    assert at == 1
+    s_resumed, _ = step(restored, wave, pitch, jnp.float32(1.0))
+    assert_states_equal(s_direct, s_resumed)
+
+
+def test_latest_step_and_missing(tmp_path):
+    ckpt = Checkpointer(str(tmp_path / "empty"))
+    assert ckpt.latest_step() is None
+    with pytest.raises(FileNotFoundError):
+        ckpt.restore(create_train_state(CFG, seed=0))
+
+
+def test_restore_across_device_counts(tmp_path):
+    """A checkpoint written from a single-device state restores onto a mesh
+    (and the loop re-places it); tree structure is device-layout-free."""
+    from gansynth_tpu.parallel import make_mesh, replicated_sharding
+
+    state = create_train_state(CFG, seed=0)
+    ckpt = Checkpointer(str(tmp_path / "ck"))
+    ckpt.save(5, state, wait=True)
+    restored, _ = ckpt.restore(create_train_state(CFG, seed=1))
+    mesh = make_mesh()
+    placed = jax.device_put(restored, replicated_sharding(mesh))
+    assert jax.tree.leaves(placed.g_params)[0].sharding.is_fully_replicated
+    assert_states_equal(state, placed)

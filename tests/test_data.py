@@ -1,0 +1,103 @@
+"""Data ingest tests (SURVEY.md §2.1): fixture writing, TFRecord parsing,
+filtering, batching, sharded infeed."""
+
+import numpy as np
+import pytest
+
+from gansynth_tpu.data import (
+    make_nsynth_iterator,
+    prefetch_to_mesh,
+    synthesize_note,
+    write_synthetic_tfrecords,
+)
+from gansynth_tpu.data.fixtures import midi_to_hz
+from gansynth_tpu.parallel import make_mesh
+from gansynth_tpu.utils.config import Config, TrainConfig
+
+pytest.importorskip("tensorflow")
+
+CFG = Config(train=TrainConfig(batch_size=4))
+
+
+@pytest.fixture(scope="module")
+def tfrecord(tmp_path_factory):
+    path = tmp_path_factory.mktemp("data") / "fixture.tfrecord"
+    return write_synthetic_tfrecords(
+        str(path), num_examples=32, pitches=range(24, 85), seed=0
+    )
+
+
+class TestFixtures:
+    def test_note_has_energy_at_pitch(self):
+        for pitch in (36, 60, 84):
+            wave = synthesize_note(pitch)
+            assert wave.shape == (64000,)
+            spec = np.abs(np.fft.rfft(wave[:16000] * np.hanning(16000)))
+            f_peak = spec.argmax()  # 1 Hz bins
+            f0 = float(midi_to_hz(pitch))
+            # peak at f0 or a harmonic
+            ratio = f_peak / f0
+            assert abs(ratio - round(ratio)) < 0.05, (pitch, f_peak, f0)
+
+    def test_midi_to_hz(self):
+        assert abs(float(midi_to_hz(69)) - 440.0) < 1e-9
+        assert abs(float(midi_to_hz(57)) - 220.0) < 1e-9
+
+
+class TestIngest:
+    def test_batches_shape_and_range(self, tfrecord):
+        it = make_nsynth_iterator(
+            [tfrecord], CFG, acoustic_only=True, shuffle=False, repeat=False
+        )
+        wave, pitch = next(it)
+        assert wave.shape == (4, 64000) and wave.dtype == np.float32
+        assert pitch.shape == (4,) and pitch.dtype == np.int32
+        assert (pitch >= 24).all() and (pitch <= 84).all()
+        assert np.abs(wave).max() <= 1.0
+
+    def test_pitch_filter(self, tmp_path):
+        path = write_synthetic_tfrecords(
+            str(tmp_path / "wide.tfrecord"),
+            num_examples=30,
+            pitches=[10, 50, 100],  # only 50 is in [24, 84]
+        )
+        it = make_nsynth_iterator(
+            [path], CFG, batch_size=2, shuffle=False, repeat=False
+        )
+        seen = np.concatenate([p for _, p in it])
+        assert (seen == 50).all() and seen.size == 10
+
+    def test_repeat_and_shuffle(self, tfrecord):
+        it = make_nsynth_iterator(
+            [tfrecord], CFG, batch_size=8, shuffle=True, repeat=True, seed=1
+        )
+        p1 = next(it)[1]
+        # 32 examples / 8 per batch: draw 10 batches, must not exhaust
+        batches = [next(it)[1] for _ in range(10)]
+        assert len(batches) == 10
+
+    def test_sharded_ingest_partitions(self, tfrecord):
+        seen = []
+        for shard in range(2):
+            it = make_nsynth_iterator(
+                [tfrecord], CFG, batch_size=1, shuffle=False, repeat=False,
+                num_shards=2, shard_index=shard,
+            )
+            seen.append(np.concatenate([p for _, p in it]))
+        assert seen[0].size + seen[1].size == 32
+        # shards are disjoint by record position (pitches cycle 24..84, so
+        # positions are recoverable from the pitch sequence)
+        assert not np.array_equal(seen[0][: seen[1].size], seen[1])
+
+    def test_prefetch_to_mesh(self, tfrecord):
+        mesh = make_mesh()
+        it = make_nsynth_iterator(
+            [tfrecord], CFG, batch_size=8, shuffle=False, repeat=False
+        )
+        dev_it = prefetch_to_mesh(it, mesh, depth=2)
+        count = 0
+        for wave, pitch in dev_it:
+            assert wave.shape == (8, 64000)
+            assert not wave.sharding.is_fully_replicated  # batch-sharded
+            count += 1
+        assert count == 4  # 32 / 8

@@ -1,0 +1,109 @@
+"""Integration smoke (SURVEY.md §4 item 5, driver config 4 in miniature):
+the training loop end-to-end on synthetic fixtures — progressive schedule,
+checkpointing, resume, metric logging — and the CLI surface."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from gansynth_tpu.cli import main as cli_main
+from gansynth_tpu.data import make_nsynth_iterator, write_synthetic_tfrecords
+from gansynth_tpu.train.loop import train
+from gansynth_tpu.utils.config import Config, ModelConfig, TrainConfig
+
+pytest.importorskip("tensorflow")
+
+TINY = Config(
+    model=ModelConfig(latent_dim=8, fmap_base=64, fmap_max=16, fmap_min=8),
+    train=TrainConfig(
+        batch_size=4,
+        fade_steps=3,
+        stable_steps=3,
+        checkpoint_every=4,
+        log_every=2,
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def tfrecord(tmp_path_factory):
+    path = tmp_path_factory.mktemp("data") / "notes.tfrecord"
+    return write_synthetic_tfrecords(str(path), num_examples=16, seed=0)
+
+
+def data_iter(tfrecord, batch=4):
+    return make_nsynth_iterator(
+        [tfrecord], TINY, batch_size=batch, acoustic_only=False, seed=0
+    )
+
+
+class TestLoop:
+    def test_loop_crosses_stage_boundary(self, tfrecord, tmp_path):
+        workdir = str(tmp_path / "run")
+        # 8 steps: stage 0 for 3, then stage 1 fade (3) + stabilize start
+        state = train(
+            TINY, data_iter(tfrecord), num_steps=8, workdir=workdir
+        )
+        assert int(state.step) == 8
+        # metrics were logged
+        lines = open(os.path.join(workdir, "metrics.jsonl")).read().splitlines()
+        records = [json.loads(l) for l in lines]
+        assert any(r["stage"] == 1 for r in records)
+        assert all(np.isfinite(r["d_loss"]) for r in records)
+        assert "steps_per_sec" in records[-1]
+        # checkpoints exist
+        assert os.path.isdir(os.path.join(workdir, "checkpoints"))
+
+    def test_loop_resumes_from_checkpoint(self, tfrecord, tmp_path):
+        workdir = str(tmp_path / "resume")
+        train(TINY, data_iter(tfrecord), num_steps=4, workdir=workdir)
+        # fresh call restores step 4 and continues
+        state = train(TINY, data_iter(tfrecord), num_steps=2, workdir=workdir)
+        assert int(state.step) == 6
+
+    def test_loop_on_mesh(self, tfrecord):
+        state = train(TINY, data_iter(tfrecord, batch=8), num_steps=2,
+                      use_mesh=True)
+        assert int(state.step) == 2
+        assert jax.tree.leaves(state.g_params)[0].sharding.is_fully_replicated
+
+
+class TestCLI:
+    def test_fixtures_and_roundtrip(self, tmp_path, capsys):
+        out = str(tmp_path / "fx.tfrecord")
+        assert cli_main(["fixtures", "--output", out, "--num-examples", "4"]) == 0
+        assert os.path.exists(out)
+        rc = cli_main(["roundtrip", "--pitch", "60",
+                       "--output", str(tmp_path / "rt.wav")])
+        assert rc == 0
+        captured = capsys.readouterr().out
+        assert "SNR" in captured
+        assert os.path.exists(tmp_path / "rt.wav")
+
+    def test_train_then_generate(self, tfrecord, tmp_path, capsys):
+        model_dir = str(tmp_path / "m")
+        rc = cli_main([
+            "train", "--model-dir", model_dir, "--data", tfrecord,
+            "--synthetic", "--num-steps", "2", "--batch-size", "2",
+            "--latent-dim", "8", "--fmap-base", "64", "--fmap-max", "16",
+            "--fade-steps", "3", "--stable-steps", "3",
+            "--checkpoint-every", "2", "--log-every", "1",
+        ])
+        assert rc == 0
+        out_dir = str(tmp_path / "wavs")
+        rc = cli_main([
+            "generate", "--model-dir", model_dir, "--output-dir", out_dir,
+            "--pitches", "48", "72", "--latent-dim", "8",
+            "--fmap-base", "64", "--fmap-max", "16",
+        ])
+        assert rc == 0
+        wavs = sorted(os.listdir(out_dir))
+        assert wavs == ["sample_0_pitch48.wav", "sample_0_pitch72.wav"]
+
+    def test_train_requires_data(self, tmp_path, capsys):
+        rc = cli_main(["train", "--model-dir", str(tmp_path / "x")])
+        assert rc == 2
