@@ -27,6 +27,10 @@ def main() -> int:
     parser.add_argument("--scan-iters", type=int, default=16,
                         help="synthesis batches per timed device program")
     parser.add_argument("--repeats", type=int, default=5)
+    parser.add_argument("--dtype", default="bfloat16",
+                        choices=["float32", "bfloat16"],
+                        help="MXU compute dtype (params/spectral stay f32; "
+                        "tests assert bf16~f32 output agreement)")
     args = parser.parse_args()
 
     import jax
@@ -35,9 +39,9 @@ def main() -> int:
     from gansynth_tpu.models import Generator
     from gansynth_tpu.ops.spectral import image_to_wave
     from gansynth_tpu.train.step import pitch_to_onehot
-    from gansynth_tpu.utils.config import Config
+    from gansynth_tpu.utils.config import Config, ModelConfig
 
-    config = Config()
+    config = Config(model=ModelConfig(compute_dtype=args.dtype))
     m = config.model
     stage = m.num_stages - 1
     g = Generator(m)

@@ -1,6 +1,7 @@
 from gansynth_tpu.models.layers import (  # noqa: F401
     EqualizedConv,
     EqualizedDense,
+    EqualizedUpConv,
     pixel_norm,
     minibatch_stddev,
     upsample_nearest,

@@ -40,12 +40,22 @@ class DiscriminatorBlock(nn.Module):
     features: int       # width of conv0 (this stage's width)
     out_features: int   # width of conv1 (next-lower stage's width)
     lrelu_slope: float = 0.2
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = leaky_relu(EqualizedConv(self.features, name="conv0")(x), self.lrelu_slope)
         x = leaky_relu(
-            EqualizedConv(self.out_features, name="conv1")(x), self.lrelu_slope
+            EqualizedConv(self.features, compute_dtype=self.compute_dtype,
+                          name="conv0")(x),
+            self.lrelu_slope,
+        )
+        # Not fused with the pool: the reference family applies LeakyReLU
+        # BEFORE the avgpool, and pool(lrelu(x)) != lrelu(pool(x)). XLA
+        # fuses the lrelu+avgpool pair into one kernel anyway.
+        x = leaky_relu(
+            EqualizedConv(self.out_features, compute_dtype=self.compute_dtype,
+                          name="conv1")(x),
+            self.lrelu_slope,
         )
         return downsample_avg(x, 2)
 
@@ -70,7 +80,8 @@ class Discriminator(nn.Module):
 
         # fromRGB heads (N5). Head i maps the 2-channel image to ch(i).
         from_rgb = [
-            EqualizedConv(cfg.stage_channels(i), kernel_size=(1, 1), name=f"from_rgb_{i}")
+            EqualizedConv(cfg.stage_channels(i), kernel_size=(1, 1),
+                          compute_dtype=cfg.compute_dtype, name=f"from_rgb_{i}")
             for i in range(cfg.num_stages)
         ]
 
@@ -82,6 +93,7 @@ class Discriminator(nn.Module):
                 cfg.stage_channels(i),
                 cfg.stage_channels(i - 1),
                 lrelu_slope=cfg.leaky_relu_slope,
+                compute_dtype=cfg.compute_dtype,
                 name=f"block_{i}",
             )
             if i <= stage:
@@ -104,12 +116,14 @@ class Discriminator(nn.Module):
         # Base block at (2 x 16): minibatch stddev, conv, flatten, dense.
         x = minibatch_stddev(x, cfg.mbstd_group_size, cfg.mbstd_eps)
         x = leaky_relu(
-            EqualizedConv(cfg.stage_channels(0), name="final_conv")(x),
+            EqualizedConv(cfg.stage_channels(0), compute_dtype=cfg.compute_dtype,
+                          name="final_conv")(x),
             cfg.leaky_relu_slope,
         )
         x = x.reshape(x.shape[0], -1)
         x = leaky_relu(
-            EqualizedDense(cfg.stage_channels(0), name="final_dense")(x),
+            EqualizedDense(cfg.stage_channels(0), compute_dtype=cfg.compute_dtype,
+                           name="final_dense")(x),
             cfg.leaky_relu_slope,
         )
         critic = EqualizedDense(1, gain=1.0, name="critic_head")(x)[:, 0]

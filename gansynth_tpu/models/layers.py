@@ -27,11 +27,19 @@ def he_scale(fan_in: int, gain: float) -> float:
 
 
 class EqualizedDense(nn.Module):
-    """Dense layer with runtime He scaling (N1)."""
+    """Dense layer with runtime He scaling (N1).
+
+    ``compute_dtype`` selects the activation/matmul dtype. Params are
+    always stored float32; on the bfloat16 fast path inputs, outputs and
+    stored activations are half-width (the pipeline is HBM-bandwidth
+    bound, so this is where the speed lives), while reductions elsewhere
+    (pixel_norm, minibatch_stddev, losses) still run float32.
+    """
 
     features: int
     gain: float = np.sqrt(2.0)
     use_bias: bool = True
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -39,20 +47,30 @@ class EqualizedDense(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.normal(1.0), (fan_in, self.features)
         )
-        y = x @ (kernel * he_scale(fan_in, self.gain))
+        cdt = jnp.dtype(self.compute_dtype)
+        y = jax.lax.dot_general(
+            x.astype(cdt),
+            (kernel * he_scale(fan_in, self.gain)).astype(cdt),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=cdt,
+        )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
+            y = y + bias.astype(cdt)
         return y
 
 
 class EqualizedConv(nn.Module):
-    """3x3 (or 1x1) conv with runtime He scaling (N1). NHWC, SAME padding."""
+    """3x3 (or 1x1) conv with runtime He scaling (N1). NHWC, SAME padding.
+
+    Same mixed-precision contract as :class:`EqualizedDense`.
+    """
 
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
     gain: float = np.sqrt(2.0)
     use_bias: bool = True
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -63,22 +81,88 @@ class EqualizedConv(nn.Module):
             nn.initializers.normal(1.0),
             (kh, kw, x.shape[-1], self.features),
         )
+        cdt = jnp.dtype(self.compute_dtype)
         y = jax.lax.conv_general_dilated(
-            x,
-            kernel * he_scale(fan_in, self.gain),
+            x.astype(cdt),
+            (kernel * he_scale(fan_in, self.gain)).astype(cdt),
             window_strides=(1, 1),
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=cdt,
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
+            y = y + bias.astype(cdt)
+        return y
+
+
+def _smear_kernel_2x(kernel: jax.Array) -> jax.Array:
+    """3x3 -> 4x4 kernel: full 2-D convolution with ones(2,2).
+
+    ``K'[a,b] = sum_{da,db in {0,1}} K[a-da, b-db]`` — the kernel algebra
+    that turns (nearest-upsample2 then 3x3 SAME conv) into one stride-2
+    transposed conv, and (3x3 SAME conv then 2x2 avgpool) into one stride-2
+    conv (divided by 4). The fused forms never materialize the
+    double-resolution activation tensor, saving its full HBM round trip.
+    """
+    p = jnp.pad
+    return (
+        p(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        + p(kernel, ((1, 0), (0, 1), (0, 0), (0, 0)))
+        + p(kernel, ((0, 1), (1, 0), (0, 0), (0, 0)))
+        + p(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    )
+
+
+class EqualizedUpConv(nn.Module):
+    """Fused nearest-upsample(x2) + 3x3 eq-LR conv.
+
+    Exactly equivalent (same sums) to ``EqualizedConv(3,3)`` applied to
+    ``upsample_nearest(x, 2)`` — parameter shapes identical, so the two
+    are checkpoint-interchangeable. Implemented as one input-dilated conv
+    with the smeared 4x4 kernel.
+    """
+
+    features: int
+    gain: float = np.sqrt(2.0)
+    use_bias: bool = True
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        fan_in = 3 * 3 * x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.normal(1.0),
+            (3, 3, x.shape[-1], self.features),
+        )
+        cdt = jnp.dtype(self.compute_dtype)
+        k4 = _smear_kernel_2x(kernel * he_scale(fan_in, self.gain)).astype(cdt)
+        y = jax.lax.conv_general_dilated(
+            x.astype(cdt),
+            k4,
+            window_strides=(1, 1),
+            padding=((2, 2), (2, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=cdt,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(cdt)
         return y
 
 
 def pixel_norm(x: jax.Array, eps: float = 1e-8) -> jax.Array:
-    """N2: x / sqrt(mean(x^2, channel axis) + eps); channel axis is last."""
-    return x * jax.lax.rsqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True) + eps)
+    """N2: x / sqrt(mean(x^2, channel axis) + eps); channel axis is last.
+
+    The reduction runs in float32 regardless of the activation dtype
+    (bf16-safe); the output keeps the input dtype so the stored activation
+    buffers stay half-width on the bf16 fast path.
+    """
+    x32 = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.mean(jnp.square(x32), axis=-1, keepdims=True) + eps)
+    return (x32 * scale).astype(x.dtype)
 
 
 def minibatch_stddev(
@@ -93,7 +177,7 @@ def minibatch_stddev(
     """
     b, h, w, c = x.shape
     g = group_size if (group_size and b % group_size == 0) else b
-    y = x.reshape(g, b // g, h, w, c)
+    y = x.astype(jnp.float32).reshape(g, b // g, h, w, c)
     var = jnp.mean(jnp.square(y - jnp.mean(y, axis=0, keepdims=True)), axis=0)
     stat = jnp.mean(jnp.sqrt(var + eps), axis=(1, 2, 3), keepdims=True)  # [b/g,1,1,1]
     # Sample g_idx*(b/g) + m carries stat[m]; tiling repeats the stats in
@@ -130,5 +214,9 @@ def leaky_relu(x: jax.Array, slope: float = 0.2) -> jax.Array:
 
 
 def lerp(a: jax.Array, b: jax.Array, t) -> jax.Array:
-    """Fade-in interpolation: (1-t)*a + t*b, t traced (no recompile on t)."""
-    return a + (b - a) * t
+    """Fade-in interpolation: (1-t)*a + t*b, t traced (no recompile on t).
+
+    Keeps ``b``'s dtype (a traced f32 scalar must not silently promote
+    bf16 activation buffers back to full width).
+    """
+    return (a + (b - a) * t).astype(b.dtype)

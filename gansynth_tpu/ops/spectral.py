@@ -105,14 +105,31 @@ def polar_to_rect(magnitude: jax.Array, phase: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def frame_signal(wave: jax.Array, frame_length: int, frame_step: int) -> jax.Array:
-    """[..., samples] -> [..., frames, frame_length] by strided gather.
+    """[..., samples] -> [..., frames, frame_length] strided framing.
 
     ``frames = (samples - frame_length) // frame_step + 1``; the trailing
-    remainder (if any) is dropped, matching standard STFT framing. The
-    gather lowers to one XLA gather op — no host loop.
+    remainder (if any) is dropped, matching standard STFT framing.
+
+    TPU-friendly lowering: when ``frame_step`` divides ``frame_length``
+    (the 75%-overlap production geometry), frame t's j-th hop-chunk is
+    ``wave[(t+j)*hop : (t+j+1)*hop]`` — so the whole framing is
+    ``overlap`` shifted contiguous reshapes concatenated on the last axis.
+    No gather, no scatter; XLA turns it into cheap copies. Falls back to a
+    gather for non-dividing geometries.
     """
     samples = wave.shape[-1]
     num_frames = (samples - frame_length) // frame_step + 1
+    if frame_length % frame_step == 0:
+        overlap = frame_length // frame_step
+        chunks = []
+        for j in range(overlap):
+            seg = jax.lax.slice_in_dim(
+                wave, j * frame_step, (j + num_frames) * frame_step, axis=-1
+            )
+            chunks.append(
+                seg.reshape(wave.shape[:-1] + (num_frames, frame_step))
+            )
+        return jnp.concatenate(chunks, axis=-1)
     idx = (
         np.arange(num_frames, dtype=np.int32)[:, None] * frame_step
         + np.arange(frame_length, dtype=np.int32)[None, :]
@@ -121,12 +138,29 @@ def frame_signal(wave: jax.Array, frame_length: int, frame_step: int) -> jax.Arr
 
 
 def overlap_add(frames: jax.Array, frame_step: int) -> jax.Array:
-    """[..., frames, frame_length] -> [..., samples] via scatter-add.
+    """[..., frames, frame_length] -> [..., samples] overlap-add.
 
-    Inverse of :func:`frame_signal`'s layout; lowers to one XLA scatter-add.
+    Inverse of :func:`frame_signal`'s layout. Same reshape trick in
+    reverse when ``frame_step`` divides ``frame_length``: the j-th
+    hop-chunk column of all frames is one contiguous [frames*hop] run
+    starting at offset ``j*hop`` — overlap-add is ``overlap`` shifted
+    pads summed together. No scatter. Gather-free fallback otherwise.
     """
     num_frames, frame_length = frames.shape[-2], frames.shape[-1]
     samples = (num_frames - 1) * frame_step + frame_length
+    if frame_length % frame_step == 0:
+        overlap = frame_length // frame_step
+        lead = frames.shape[:-2]
+        out = jnp.zeros(lead + (samples,), dtype=frames.dtype)
+        for j in range(overlap):
+            chunk = jax.lax.slice_in_dim(
+                frames, j * frame_step, (j + 1) * frame_step, axis=-1
+            ).reshape(lead + (num_frames * frame_step,))
+            pad = [(0, 0)] * len(lead) + [
+                (j * frame_step, samples - j * frame_step - num_frames * frame_step)
+            ]
+            out = out + jnp.pad(chunk, pad)
+        return out
     idx = (
         np.arange(num_frames, dtype=np.int32)[:, None] * frame_step
         + np.arange(frame_length, dtype=np.int32)[None, :]

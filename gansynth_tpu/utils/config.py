@@ -91,6 +91,10 @@ class ModelConfig:
     mbstd_eps: float = 1e-8
     mbstd_group_size: int = 4       # stddev computed over groups of this size
     generator_output: str = "tanh"  # [K-med] bounded output for the GAN image
+    # MXU compute dtype for convs/denses: "float32" (parity default) or
+    # "bfloat16" (TPU fast path — params, accumulation, normalization and
+    # the whole spectral chain stay float32 regardless).
+    compute_dtype: str = "float32"
 
     def stage_resolution(self, stage: int) -> Tuple[int, int]:
         """(height, width) of the spectrogram image at ``stage`` (0-based)."""
