@@ -194,24 +194,63 @@ def stft(wave: jax.Array, config: AudioConfig = AudioConfig()) -> jax.Array:
     return spec
 
 
+def _idft_matrices(config: AudioConfig):
+    """Real iDFT synthesis matrices with the synthesis window folded in.
+
+    ``frames = Re(S) @ C + Im(S) @ D`` over the full ``n_bins = N/2 + 1``
+    rFFT bins reproduces ``irfft(S) * synthesis_window`` exactly:
+
+        x[n] = (1/N) [X0 + 2 sum_{k=1}^{N/2-1} (ReXk cos - ImXk sin) +
+                      X_{N/2} cos(pi n)]
+
+    (the Nyquist row's imaginary part is ignored, matching irfft). Built
+    in float64 at trace time, baked as f32 constants (~17 MB) — the iDFT
+    becomes two MXU matmuls instead of an XLA FFT, which is the faster
+    lowering on TPU.
+    """
+    n = config.frame_length
+    bins = config.num_rfft_bins
+    k = np.arange(bins)[:, None].astype(np.float64)
+    t = np.arange(n)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * k * t / n
+    coef = np.full((bins, 1), 2.0)
+    coef[0, 0] = 1.0
+    coef[-1, 0] = 1.0
+    c = coef * np.cos(ang) / n
+    d = -coef * np.sin(ang) / n
+    d[0, :] = 0.0
+    d[-1, :] = 0.0  # irfft ignores Im at DC and Nyquist
+    w = inverse_stft_window(
+        hann_window(config.frame_length), config.frame_step
+    ).astype(np.float64)
+    return jnp.asarray((c * w).astype(np.float32)), jnp.asarray(
+        (d * w).astype(np.float32)
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def istft(spec: jax.Array, config: AudioConfig = AudioConfig()) -> jax.Array:
     """S10 tail: [..., 128, 1024] complex -> [..., 64000] float wave.
 
-    Re-inserts a zero bin where :func:`stft` dropped one, irFFTs, applies
-    the least-squares synthesis window, overlap-adds, and crops the padding
-    back off.
+    Re-inserts a zero bin where :func:`stft` dropped one, inverse-DFTs
+    each frame (XLA FFT or windowed MXU matmuls per ``config.idft_mode``),
+    applies the least-squares synthesis window, overlap-adds, and crops
+    the padding back off.
     """
     pad = [(0, 0)] * (spec.ndim - 1)
     if config.discard_dc:
         spec = jnp.pad(spec, pad + [(1, 0)])
     else:
         spec = jnp.pad(spec, pad + [(0, 1)])
-    frames = jnp.fft.irfft(spec, n=config.frame_length, axis=-1)
-    window = jnp.asarray(
-        inverse_stft_window(hann_window(config.frame_length), config.frame_step)
-    )
-    wave = overlap_add(frames * window, config.frame_step)
+    if config.idft_mode == "matmul":
+        c, d = _idft_matrices(config)
+        frames = jnp.real(spec) @ c + jnp.imag(spec) @ d  # window folded in
+    else:
+        window = jnp.asarray(
+            inverse_stft_window(hann_window(config.frame_length), config.frame_step)
+        )
+        frames = jnp.fft.irfft(spec, n=config.frame_length, axis=-1) * window
+    wave = overlap_add(frames, config.frame_step)
     return jax.lax.slice_in_dim(
         wave, config.pad_left, config.pad_left + config.audio_length, axis=-1
     )
@@ -300,9 +339,27 @@ def wave_to_melspecgrams(wave: jax.Array, config: AudioConfig = AudioConfig()):
 def melspecgrams_to_wave(
     logmelmag2: jax.Array, mel_ifreq: jax.Array, config: AudioConfig = AudioConfig()
 ):
-    """S11 synthesis direction: (log-mel-mag^2, mel-IF) -> wave."""
-    logmag, ifreq = melspecgrams_to_specgrams(logmelmag2, mel_ifreq, config)
-    return specgrams_to_wave(logmag, ifreq, config)
+    """S11 synthesis direction: (log-mel-mag^2, mel-IF) -> wave.
+
+    Computed in algebraically simplified form (same function as
+    ``specgrams_to_wave(*melspecgrams_to_specgrams(...))`` — asserted by
+    tests — with two exact identities applied):
+
+    - the IF roundtrip is the identity on phase:
+      ``cumsum(instantaneous_frequency(p) * pi, time) == unwrap(p)``, and
+    - ``cos``/``sin`` are 2*pi-periodic, so the unwrap corrections the
+      intermediate IF recomputation introduces cannot change the complex
+      spectrogram.
+
+    The whole phase path therefore collapses to ONE cumsum + ONE mel
+    matmul feeding cos/sin directly — no unwrap/diff/mod chain. Magnitude
+    uses ``exp(0.5*log(x + eps)) == sqrt(x + eps)``.
+    """
+    _, m2l = _mel_matrices(config)
+    mag2 = jnp.exp(logmelmag2) @ m2l
+    mag = jnp.sqrt(jnp.maximum(mag2, 0.0) + config.logmel_eps)
+    phase = jnp.cumsum(mel_ifreq * _PI, axis=-2) @ m2l
+    return istft(polar_to_rect(mag, phase), config)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))

@@ -45,6 +45,12 @@ class AudioConfig:
     # symmetric split minimizes edge reconstruction error.
     pad_left_fraction: float = 0.5
     discard_dc: bool = True         # [K-high] 1025 rFFT bins -> 1024 (DC dropped)
+    # Inverse-DFT lowering for the synthesis path: "fft" uses the XLA FFT
+    # HLO; "matmul" computes the iDFT as two real MXU matmuls with the
+    # synthesis window folded into the DFT matrices (TPUs are matmul
+    # machines; their FFT lowering is comparatively weak). Same function
+    # to float tolerance — see tests/test_spectral.py.
+    idft_mode: str = "matmul"
 
     @property
     def padded_length(self) -> int:

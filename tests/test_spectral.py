@@ -250,6 +250,44 @@ def snr_db(ref, est):
     return 10 * np.log10((ref**2).sum() / max((noise**2).sum(), 1e-30))
 
 
+class TestFastPaths:
+    """The TPU-optimized lowerings must compute the same functions."""
+
+    def test_matmul_idft_matches_fft(self, rng):
+        import dataclasses
+
+        cfg_mm = dataclasses.replace(CFG, idft_mode="matmul")
+        cfg_fft = dataclasses.replace(CFG, idft_mode="fft")
+        re = rng.standard_normal((2, 128, 1024)).astype(np.float32)
+        im = rng.standard_normal((2, 128, 1024)).astype(np.float32)
+        spec = jnp.asarray(re + 1j * im)
+        a = np.asarray(istft(spec, cfg_fft))
+        b = np.asarray(istft(spec, cfg_mm))
+        np.testing.assert_allclose(a, b, atol=2e-3)
+        # and the same through a full roundtrip
+        wave = tone(392.0, rng=rng)
+        ra = np.asarray(istft(stft(jnp.asarray(wave), cfg_fft), cfg_fft))
+        rb = np.asarray(istft(stft(jnp.asarray(wave), cfg_mm), cfg_mm))
+        np.testing.assert_allclose(ra, rb, atol=2e-3)
+
+    def test_simplified_synthesis_matches_naive_composition(self, rng):
+        """melspecgrams_to_wave's algebraic shortcut (no unwrap/IF in the
+        synthesis direction) == the literal S9+S10 composition."""
+        from gansynth_tpu.ops import melspecgrams_to_wave
+
+        wave = tone([440.0, 660.0], amps=[1.0, 0.4], rng=rng)
+        logmag, ifreq = wave_to_specgrams(jnp.asarray(wave), CFG)
+        lmm2, mif = specgrams_to_melspecgrams(logmag, ifreq, CFG)
+
+        fast = np.asarray(melspecgrams_to_wave(lmm2, mif, CFG))
+        logmag2, ifreq2 = melspecgrams_to_specgrams(lmm2, mif, CFG)
+        naive = np.asarray(specgrams_to_wave(logmag2, ifreq2, CFG))
+        # identical up to float noise of the extra unwrap/IF passes; scale
+        # of the signal is O(1)
+        np.testing.assert_allclose(fast, naive, atol=5e-2)
+        assert snr_db(naive, fast) > 30.0
+
+
 class TestRoundtrip:
     def test_specgrams_roundtrip_snr(self, rng):
         # wave -> (logmag, IF) -> wave without mel: near-lossless interior.
