@@ -36,12 +36,18 @@ def _build_config(args) -> Config:
         seed=args.seed,
         checkpoint_every=args.checkpoint_every,
         log_every=args.log_every,
+        sample_every=getattr(args, "sample_every", 0),
     )
     model = ModelConfig(
         latent_dim=args.latent_dim,
         fmap_base=args.fmap_base,
         fmap_max=args.fmap_max,
+        compute_dtype=args.compute_dtype,
     )
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     return Config(model=model, train=train)
 
 
@@ -51,6 +57,12 @@ def _add_common_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--latent-dim", type=int, default=256)
     p.add_argument("--fmap-base", type=int, default=4096)
     p.add_argument("--fmap-max", type=int, default=256)
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="MXU compute dtype (params stay float32)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (the race-detector analog "
+                   "for this functional framework)")
     p.add_argument("--fade-steps", type=int, default=800_000)
     p.add_argument("--stable-steps", type=int, default=800_000)
     p.add_argument("--seed", type=int, default=0)
@@ -74,7 +86,11 @@ def cmd_train(args) -> int:
         print("error: pass --data <tfrecord...> or --synthetic", file=sys.stderr)
         return 2
 
-    data = make_nsynth_iterator(
+    if args.ingest == "native":
+        from gansynth_tpu.data import make_native_iterator as make_iterator
+    else:
+        make_iterator = make_nsynth_iterator
+    data = make_iterator(
         files, config, acoustic_only=not args.synthetic, seed=config.train.seed
     )
     state = train(
@@ -172,6 +188,11 @@ def main(argv=None) -> int:
     p.add_argument("--num-steps", type=int, default=None)
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all visible devices")
+    p.add_argument("--sample-every", type=int, default=0,
+                   help="dump EMA-generator audio samples every N steps")
+    p.add_argument("--ingest", default="tf", choices=["tf", "native"],
+                   help="TFRecord decode path: tf.data or the first-party "
+                   "C++ reader (TensorFlow-free)")
     _add_common_train_flags(p)
     p.set_defaults(fn=cmd_train)
 

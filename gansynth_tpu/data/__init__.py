@@ -7,3 +7,7 @@ from gansynth_tpu.data.fixtures import (  # noqa: F401
     synthesize_note,
     write_synthetic_tfrecords,
 )
+from gansynth_tpu.data.native_tfrecord import (  # noqa: F401
+    make_native_iterator,
+    read_examples,
+)

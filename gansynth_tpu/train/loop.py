@@ -28,6 +28,28 @@ from gansynth_tpu.train.step import make_train_step
 from gansynth_tpu.utils.config import Config
 
 
+def _dump_samples(config, state, stage: int, step: int, workdir: str) -> None:
+    """Periodic EMA-generator audio artifacts (SURVEY.md §5): sample the
+    configured pitches at the CURRENT stage and write wavs."""
+    import os
+
+    from gansynth_tpu.synth.sampler import make_sampler
+    from gansynth_tpu.utils.audio_io import write_wav
+
+    sample = make_sampler(config, stage)
+    pitches = jnp.asarray(config.train.sample_pitches, jnp.int32)
+    key = jax.random.fold_in(jax.random.key(config.train.seed), step)
+    waves, _ = sample(state.ema_params, key, pitches)
+    out_dir = os.path.join(workdir, "samples")
+    os.makedirs(out_dir, exist_ok=True)
+    for pitch, wave in zip(config.train.sample_pitches, np.asarray(waves)):
+        write_wav(
+            os.path.join(out_dir, f"step{step:08d}_pitch{pitch}.wav"),
+            wave,
+            config.audio.sample_rate,
+        )
+
+
 def train(
     config: Config,
     data_iter: Iterator[Tuple[np.ndarray, np.ndarray]],
@@ -112,6 +134,12 @@ def train(
             new_step % config.train.checkpoint_every == 0 or new_step == end
         ):
             checkpointer.save(new_step, state)
+        if (
+            workdir is not None
+            and config.train.sample_every
+            and new_step % config.train.sample_every == 0
+        ):
+            _dump_samples(config, state, stage, new_step, workdir)
 
     if checkpointer is not None:
         checkpointer._mgr.wait_until_finished()

@@ -135,6 +135,11 @@ class TrainConfig:
     seed: int = 0
     checkpoint_every: int = 2000
     log_every: int = 100
+    # Periodic EMA-generator audio artifact dumps (SURVEY.md §5 metrics
+    # row: "periodic audio/spectrogram artifact dumps from the EMA
+    # sampler"). 0 disables.
+    sample_every: int = 0
+    sample_pitches: Tuple[int, ...] = (36, 60, 84)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -65,6 +65,24 @@ class TestLoop:
         state = train(TINY, data_iter(tfrecord), num_steps=2, workdir=workdir)
         assert int(state.step) == 6
 
+    def test_loop_dumps_audio_samples(self, tfrecord, tmp_path):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            TINY,
+            train=dataclasses.replace(
+                TINY.train, sample_every=2, sample_pitches=(40, 70)
+            ),
+        )
+        workdir = str(tmp_path / "dump")
+        train(cfg, data_iter(tfrecord), num_steps=2, workdir=workdir)
+        wavs = sorted(os.listdir(os.path.join(workdir, "samples")))
+        assert wavs == ["step00000002_pitch40.wav", "step00000002_pitch70.wav"]
+        from gansynth_tpu.utils.audio_io import read_wav
+
+        audio, sr = read_wav(os.path.join(workdir, "samples", wavs[0]))
+        assert sr == 16000 and audio.shape == (64000,)
+
     def test_loop_on_mesh(self, tfrecord):
         state = train(TINY, data_iter(tfrecord, batch=8), num_steps=2,
                       use_mesh=True)

@@ -1,0 +1,106 @@
+"""Native C++ TFRecord reader: exact equivalence with the tf.data path,
+CRC corruption detection, and pipeline semantics."""
+
+import numpy as np
+import pytest
+
+from gansynth_tpu.data import make_nsynth_iterator, write_synthetic_tfrecords
+from gansynth_tpu.data.native_tfrecord import (
+    NativeTFRecordError,
+    make_native_iterator,
+    read_examples,
+)
+from gansynth_tpu.utils.config import Config, TrainConfig
+
+pytest.importorskip("tensorflow")  # fixtures are written with TF
+
+CFG = Config(train=TrainConfig(batch_size=4))
+
+
+@pytest.fixture(scope="module")
+def tfrecord(tmp_path_factory):
+    path = tmp_path_factory.mktemp("native") / "notes.tfrecord"
+    return write_synthetic_tfrecords(
+        str(path), num_examples=24, pitches=range(20, 90, 3), seed=0
+    )
+
+
+class TestRawReader:
+    def test_matches_tf_parse_exactly(self, tfrecord):
+        import tensorflow as tf
+
+        native = list(read_examples(tfrecord))
+        assert len(native) == 24
+        spec = {
+            "audio": tf.io.FixedLenFeature([64000], tf.float32),
+            "pitch": tf.io.FixedLenFeature([], tf.int64),
+            "instrument_source": tf.io.FixedLenFeature([], tf.int64),
+        }
+        for raw, (audio, pitch, source) in zip(
+            tf.data.TFRecordDataset([tfrecord]).as_numpy_iterator(), native
+        ):
+            ex = tf.io.parse_single_example(raw, spec)
+            np.testing.assert_array_equal(ex["audio"].numpy(), audio)
+            assert int(ex["pitch"]) == pitch
+            assert int(ex["instrument_source"]) == source
+
+    def test_crc_corruption_detected(self, tfrecord, tmp_path):
+        data = bytearray(open(tfrecord, "rb").read())
+        data[200] ^= 0xFF  # flip a payload byte
+        bad = tmp_path / "corrupt.tfrecord"
+        bad.write_bytes(bytes(data))
+        with pytest.raises(NativeTFRecordError, match="CRC"):
+            list(read_examples(str(bad)))
+        # without verification the corruption passes through (or fails
+        # parse) — exercise the flag
+        try:
+            list(read_examples(str(bad), verify_crc=False))
+        except NativeTFRecordError:
+            pass
+
+    def test_missing_file(self):
+        with pytest.raises(FileNotFoundError):
+            list(read_examples("/nonexistent/x.tfrecord"))
+
+
+class TestNativePipeline:
+    def test_matches_tf_pipeline_unshuffled(self, tfrecord):
+        tf_batches = list(
+            make_nsynth_iterator(
+                [tfrecord], CFG, shuffle=False, repeat=False, acoustic_only=True
+            )
+        )
+        native_batches = list(
+            make_native_iterator(
+                [tfrecord], CFG, shuffle=False, repeat=False, acoustic_only=True
+            )
+        )
+        assert len(tf_batches) == len(native_batches) > 0
+        for (wa, pa), (wb, pb) in zip(tf_batches, native_batches):
+            np.testing.assert_array_equal(wa, wb)
+            np.testing.assert_array_equal(pa, pb)
+
+    def test_pitch_filter_and_shuffle(self, tfrecord):
+        it = make_native_iterator(
+            [tfrecord], CFG, shuffle=True, repeat=True, shuffle_buffer=8, seed=1
+        )
+        seen = np.concatenate([next(it)[1] for _ in range(6)])
+        assert (seen >= 24).all() and (seen <= 84).all()
+
+    def test_sharding_partitions(self, tfrecord):
+        all_pitches = []
+        for shard in range(2):
+            it = make_native_iterator(
+                [tfrecord], CFG, batch_size=1, shuffle=False, repeat=False,
+                num_shards=2, shard_index=shard,
+            )
+            all_pitches.append(np.concatenate([p for _, p in it]))
+        merged = sorted(np.concatenate(all_pitches).tolist())
+        single = sorted(
+            np.concatenate([
+                p for _, p in make_native_iterator(
+                    [tfrecord], CFG, batch_size=1, shuffle=False, repeat=False
+                )
+            ]).tolist()
+        )
+        assert merged == single
