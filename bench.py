@@ -39,9 +39,13 @@ def main() -> int:
     from gansynth_tpu.models import Generator
     from gansynth_tpu.ops.spectral import image_to_wave
     from gansynth_tpu.train.step import pitch_to_onehot
-    from gansynth_tpu.utils.config import Config, ModelConfig
+    from gansynth_tpu.utils.config import AudioConfig, Config, ModelConfig
 
-    config = Config(model=ModelConfig(compute_dtype=args.dtype))
+    config = Config(
+        model=ModelConfig(compute_dtype=args.dtype),
+        # TPU-tuned synthesis: fused Pallas spectrum kernel + matmul iDFT
+        audio=AudioConfig(synthesis_kernel="pallas"),
+    )
     m = config.model
     stage = m.num_stages - 1
     g = Generator(m)

@@ -87,10 +87,19 @@ def instantaneous_frequency(phase: jax.Array, axis: int = -2) -> jax.Array:
     time axis keeps its length; the exact inverse is
     ``cumsum(IF * pi, axis)`` (used by :func:`melspecgrams_to_specgrams`
     and the synthesis path).
+
+    Computed WITHOUT materializing the unwrap: the unwrap corrections form
+    a cumsum that cancels exactly in the diff —
+    ``diff(unwrap(p))[t] = dd[t] + ph_correct[t] = where(|dd|<pi, dd,
+    ddmod)[t]`` — so IF is a pure elementwise+shift computation (no scan),
+    which XLA fuses into a single kernel. ``unwrap(p)[0] == p[0]`` supplies
+    the initial row. Semantics are pinned to np.unwrap by the tests.
     """
-    unwrapped = unwrap(phase, axis=axis)
-    dphase = diff(unwrapped, axis=axis)
-    initial = jax.lax.slice_in_dim(unwrapped, 0, 1, axis=axis)
+    dd = diff(phase, axis=axis)
+    ddmod = jnp.mod(dd + _PI, 2.0 * _PI) - _PI
+    ddmod = jnp.where((ddmod == -_PI) & (dd > 0), _PI, ddmod)
+    dphase = jnp.where(jnp.abs(dd) < _PI, dd, ddmod)
+    initial = jax.lax.slice_in_dim(phase, 0, 1, axis=axis)
     return jnp.concatenate([initial, dphase], axis=axis) / _PI
 
 
@@ -185,13 +194,35 @@ def stft(wave: jax.Array, config: AudioConfig = AudioConfig()) -> jax.Array:
     pad = [(0, 0)] * (wave.ndim - 1) + [(config.pad_left, config.pad_right)]
     wave = jnp.pad(wave, pad)
     frames = frame_signal(wave, config.frame_length, config.frame_step)
-    window = jnp.asarray(hann_window(config.frame_length))
-    spec = jnp.fft.rfft(frames * window, axis=-1)
+    if config.dft_mode == "matmul":
+        a, b = _dft_matrices(config)
+        spec = jax.lax.complex(frames @ a, frames @ b)  # window folded in
+    else:
+        window = jnp.asarray(hann_window(config.frame_length))
+        spec = jnp.fft.rfft(frames * window, axis=-1)
     if config.discard_dc:
         spec = spec[..., 1:]
     else:
         spec = spec[..., :-1]
     return spec
+
+
+def _dft_matrices(config: AudioConfig):
+    """Real forward-rDFT analysis matrices with the Hann window folded in.
+
+    ``spec = frames @ A + i * (frames @ B)`` over all ``N/2+1`` bins equals
+    ``rfft(frames * hann)``: A[n,k] = w[n] cos(2 pi k n / N),
+    B[n,k] = -w[n] sin(2 pi k n / N). f64 at trace time, f32 constants.
+    """
+    n = config.frame_length
+    bins = config.num_rfft_bins
+    t = np.arange(n)[:, None].astype(np.float64)
+    k = np.arange(bins)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * k * t / n
+    w = hann_window(n).astype(np.float64)[:, None]
+    a = (w * np.cos(ang)).astype(np.float32)
+    b = (-w * np.sin(ang)).astype(np.float32)
+    return jnp.asarray(a), jnp.asarray(b)
 
 
 def _idft_matrices(config: AudioConfig):
@@ -384,6 +415,15 @@ def image_to_wave(image: jax.Array, config: AudioConfig = AudioConfig()) -> jax.
             f"expected a 2-channel (log-mel-mag, mel-IF) image, got "
             f"{image.shape[-1]} channels"
         )
+    if config.synthesis_kernel == "pallas":
+        from gansynth_tpu.kernels import synthesis_spectrum_pallas
+
+        squeeze = image.ndim == 3
+        if squeeze:
+            image = image[None]
+        re, im = synthesis_spectrum_pallas(image, config)
+        wave = istft(jax.lax.complex(re, im), config)
+        return wave[0] if squeeze else wave
     logmelmag2 = scale(
         image[..., 0], -1.0, 1.0, config.logmel_min, config.logmel_max
     )

@@ -45,12 +45,19 @@ class AudioConfig:
     # symmetric split minimizes edge reconstruction error.
     pad_left_fraction: float = 0.5
     discard_dc: bool = True         # [K-high] 1025 rFFT bins -> 1024 (DC dropped)
-    # Inverse-DFT lowering for the synthesis path: "fft" uses the XLA FFT
-    # HLO; "matmul" computes the iDFT as two real MXU matmuls with the
-    # synthesis window folded into the DFT matrices (TPUs are matmul
-    # machines; their FFT lowering is comparatively weak). Same function
-    # to float tolerance — see tests/test_spectral.py.
+    # DFT lowerings: "fft" uses the XLA FFT HLO; "matmul" computes the
+    # (i)DFT as real MXU matmuls with the analysis/synthesis window folded
+    # into the DFT matrices (TPUs are matmul machines; their FFT lowering
+    # is comparatively weak). Same function to float tolerance — see
+    # tests/test_spectral.py. Synthesis defaults to matmul (measured
+    # faster); analysis keeps the FFT default (not a measured bottleneck,
+    # avoids 17 MB of baked constants in every training step).
     idft_mode: str = "matmul"
+    dft_mode: str = "fft"
+    # Pre-iDFT synthesis chain: "xla" (reference lowering) or "pallas"
+    # (kernels/pallas_synthesis.py — one fused VMEM-resident kernel per
+    # batch element; equality-tested against the XLA path).
+    synthesis_kernel: str = "xla"
 
     @property
     def padded_length(self) -> int:

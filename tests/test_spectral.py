@@ -270,6 +270,15 @@ class TestFastPaths:
         rb = np.asarray(istft(stft(jnp.asarray(wave), cfg_mm), cfg_mm))
         np.testing.assert_allclose(ra, rb, atol=2e-3)
 
+    def test_matmul_dft_matches_fft(self, rng):
+        import dataclasses
+
+        cfg_mm = dataclasses.replace(CFG, dft_mode="matmul")
+        wave = tone([523.2, 784.0], amps=[1.0, 0.5], rng=rng)
+        a = np.asarray(stft(jnp.asarray(wave), CFG))
+        b = np.asarray(stft(jnp.asarray(wave), cfg_mm))
+        np.testing.assert_allclose(a, b, atol=2e-3)
+
     def test_simplified_synthesis_matches_naive_composition(self, rng):
         """melspecgrams_to_wave's algebraic shortcut (no unwrap/IF in the
         synthesis direction) == the literal S9+S10 composition."""
