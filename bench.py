@@ -36,6 +36,10 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from gansynth_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
+
     from gansynth_tpu.models import Generator
     from gansynth_tpu.ops.spectral import image_to_wave
     from gansynth_tpu.train.step import pitch_to_onehot

@@ -17,7 +17,6 @@ Run as ``python -m gansynth_tpu.cli <subcommand> ...``.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 import sys
 import tempfile
@@ -71,8 +70,6 @@ def _add_common_train_flags(p: argparse.ArgumentParser) -> None:
 
 
 def cmd_train(args) -> int:
-    import jax
-
     from gansynth_tpu.data import make_nsynth_iterator, write_synthetic_tfrecords
     from gansynth_tpu.train.loop import train
 
@@ -218,6 +215,9 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_fixtures)
 
     args = parser.parse_args(argv)
+    from gansynth_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
     return args.fn(args)
 
 

@@ -88,8 +88,11 @@ class Discriminator(nn.Module):
         x = leaky_relu(from_rgb[stage](image), cfg.leaky_relu_slope)
 
         # Trunk blocks from `stage` down to 1 (block i halves resolution i -> i-1).
+        block_cls = (
+            nn.remat(DiscriminatorBlock) if cfg.remat else DiscriminatorBlock
+        )
         for i in range(cfg.num_stages - 1, 0, -1):
-            block = DiscriminatorBlock(
+            block = block_cls(
                 cfg.stage_channels(i),
                 cfg.stage_channels(i - 1),
                 lrelu_slope=cfg.leaky_relu_slope,

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from gansynth_tpu.models.layers import (
@@ -91,9 +90,10 @@ class Generator(nn.Module):
         x = pixel_norm(leaky_relu(x, cfg.leaky_relu_slope), cfg.pixelnorm_eps)
 
         # Trunk: build every stage's params; run blocks 0..stage.
+        block_cls = nn.remat(GeneratorBlock) if cfg.remat else GeneratorBlock
         feats = []
         for i in range(cfg.num_stages):
-            block = GeneratorBlock(
+            block = block_cls(
                 cfg.stage_channels(i),
                 upsample=(i > 0),
                 lrelu_slope=cfg.leaky_relu_slope,

@@ -14,7 +14,7 @@ Progressive-GAN layer ops, written TPU-first:
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

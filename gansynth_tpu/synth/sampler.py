@@ -13,7 +13,6 @@ This path's throughput is the north-star metric (x-real-time per chip);
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

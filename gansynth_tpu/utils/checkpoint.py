@@ -17,7 +17,6 @@ import os
 from typing import Optional, Tuple
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from gansynth_tpu.train.state import TrainState

@@ -108,6 +108,11 @@ class ModelConfig:
     # "bfloat16" (TPU fast path — params, accumulation, normalization and
     # the whole spectral chain stay float32 regardless).
     compute_dtype: str = "float32"
+    # Rematerialize trunk blocks in the backward pass (jax.checkpoint).
+    # The WGAN-GP step holds 3 critic passes plus second-order gradients
+    # live at once (SURVEY.md §7 hard-part 3); remat trades ~1/3 more
+    # compute for activation memory, unlocking larger full-res batches.
+    remat: bool = False
 
     def stage_resolution(self, stage: int) -> Tuple[int, int]:
         """(height, width) of the spectrogram image at ``stage`` (0-based)."""

@@ -2,7 +2,6 @@
 perf path must compute the same function as the reference-shaped path."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -1,8 +1,6 @@
 """Shape/dtype invariants and behavioral tests for the progressive networks
 (SURVEY.md §4 item 2)."""
 
-import dataclasses
-
 import numpy as np
 import pytest
 

@@ -5,12 +5,10 @@ import dataclasses
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 from gansynth_tpu.kernels import synthesis_spectrum_pallas
 from gansynth_tpu.ops import image_to_wave, wave_to_image
-from gansynth_tpu.ops.spectral import melspecgrams_to_wave, istft
 from gansynth_tpu.utils.config import AudioConfig, scale
 
 CFG = AudioConfig()
@@ -49,7 +47,6 @@ def test_spectrum_matches_xla_path(image):
 def test_image_to_wave_pallas_mode_matches_xla(image):
     cfg_pl = dataclasses.replace(CFG, synthesis_kernel="pallas")
     # route the pallas path through interpret mode on CPU
-    from gansynth_tpu.kernels import pallas_synthesis
     import gansynth_tpu.kernels as K
 
     orig = K.synthesis_spectrum_pallas

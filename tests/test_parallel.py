@@ -9,10 +9,8 @@ import jax
 import jax.numpy as jnp
 
 from gansynth_tpu.parallel import (
-    batch_sharding,
     jit_train_step_for_mesh,
     make_mesh,
-    replicated_sharding,
     shard_train_inputs,
 )
 from gansynth_tpu.train import create_train_state, make_train_step

@@ -2,8 +2,6 @@
 loss finiteness, second-order GP gradients, EMA movement, fade endpoints,
 seeded determinism."""
 
-import dataclasses
-
 import numpy as np
 import pytest
 
@@ -14,7 +12,7 @@ from gansynth_tpu.train import create_train_state, make_train_step
 from gansynth_tpu.train.losses import gradient_penalty, pitch_cross_entropy
 from gansynth_tpu.train.schedule import ProgressiveSchedule
 from gansynth_tpu.train.step import pitch_to_onehot, real_image_for_stage
-from gansynth_tpu.utils.config import AudioConfig, Config, ModelConfig, TrainConfig
+from gansynth_tpu.utils.config import Config, ModelConfig, TrainConfig
 
 CFG = Config(
     model=ModelConfig(latent_dim=8, fmap_base=64, fmap_max=16, fmap_min=8),
@@ -143,6 +141,25 @@ class TestTrainStep:
                 jax.tree.leaves(g1[f"block_{STAGE}"]),
             )
         )
+
+    def test_remat_matches_no_remat(self, state, batch):
+        """jax.checkpoint on trunk blocks must not change the math
+        (SURVEY.md §7 hard-part 3 mitigation)."""
+        import dataclasses
+
+        cfg_r = dataclasses.replace(
+            CFG, model=dataclasses.replace(CFG.model, remat=True)
+        )
+        waves, pitch = batch
+        plain = jax.jit(make_train_step(CFG, STAGE))
+        remat = jax.jit(make_train_step(cfg_r, STAGE))
+        _, m0 = plain(state, waves, pitch, jnp.float32(0.7))
+        _, m1 = remat(state, waves, pitch, jnp.float32(0.7))
+        for k in m0:
+            np.testing.assert_allclose(
+                np.asarray(m0[k]), np.asarray(m1[k]), rtol=1e-4,
+                err_msg=f"metric {k}",
+            )
 
     def test_two_steps_progress(self, state, batch):
         step = jax.jit(make_train_step(CFG, STAGE))
