@@ -160,6 +160,31 @@ def cmd_roundtrip(args) -> int:
     return 0
 
 
+def cmd_evaluate(args) -> int:
+    import json as _json
+
+    from gansynth_tpu.evaluation import evaluate_sampler
+    from gansynth_tpu.synth import Sampler
+    from gansynth_tpu.train.state import create_train_state
+    from gansynth_tpu.utils.checkpoint import Checkpointer
+
+    config = _build_config(args)
+    template = create_train_state(config)
+    ckpt = Checkpointer(os.path.join(args.model_dir, "checkpoints"))
+    state, step = ckpt.restore(template)
+    sampler = Sampler(config, state.ema_params)
+    metrics = evaluate_sampler(
+        sampler,
+        pitches=[int(p) for p in args.pitches],
+        samples_per_pitch=args.samples_per_pitch,
+        sample_rate=config.audio.sample_rate,
+        seed=args.seed,
+    )
+    metrics["checkpoint_step"] = step
+    print(_json.dumps(metrics))
+    return 0
+
+
 def cmd_fixtures(args) -> int:
     from gansynth_tpu.data import write_synthetic_tfrecords
 
@@ -201,6 +226,15 @@ def main(argv=None) -> int:
     p.add_argument("--num-samples", type=int, default=1)
     _add_common_train_flags(p)
     p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser("evaluate",
+                       help="pitch-fidelity metrics from a checkpoint")
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--pitches", nargs="+", default=[str(p) for p in
+                                                    range(24, 85, 12)])
+    p.add_argument("--samples-per-pitch", type=int, default=4)
+    _add_common_train_flags(p)
+    p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("roundtrip", help="wave -> mel-IF -> wave check")
     p.add_argument("--input", help="16 kHz mono wav (default: synthetic note)")

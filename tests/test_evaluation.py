@@ -1,0 +1,84 @@
+"""Evaluation metric tests: pitch detection on known signals, end-to-end
+roundtrip pitch fidelity (driver config 1's 'energy at the conditioned
+pitch' check), and the sampler-evaluation harness."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gansynth_tpu.data.fixtures import midi_to_hz, synthesize_note
+from gansynth_tpu.evaluation import (
+    detect_midi_pitch,
+    evaluate_sampler,
+    log_spectral_distance,
+    pitch_accuracy,
+)
+from gansynth_tpu.ops import image_to_wave, wave_to_image
+from gansynth_tpu.utils.config import AudioConfig
+
+
+class TestPitchDetection:
+    @pytest.mark.parametrize("midi", [30, 48, 60, 72, 84])
+    def test_detects_fixture_notes(self, midi):
+        wave = synthesize_note(midi)
+        detected = detect_midi_pitch(wave)
+        assert abs(detected - midi) < 0.5, (midi, detected)
+
+    def test_pitch_accuracy_batch(self):
+        pitches = [40, 52, 64, 76]
+        waves = np.stack([synthesize_note(p) for p in pitches])
+        m = pitch_accuracy(waves, pitches)
+        assert m["pitch_accuracy"] == 1.0
+        assert m["pitch_mae_semitones"] < 0.5
+        # wrong labels are caught
+        m_bad = pitch_accuracy(waves, [p + 7 for p in pitches])
+        assert m_bad["pitch_accuracy"] == 0.0
+
+
+class TestSpectralRoundtripFidelity:
+    def test_roundtrip_preserves_conditioned_pitch(self):
+        """The full mel-IF image roundtrip must preserve pitch across the
+        register (config 1: 'audio reconstructions within tolerance')."""
+        cfg = AudioConfig()
+        pitches = [36, 48, 60, 72, 84]
+        waves = np.stack([synthesize_note(p) for p in pitches])
+        img = wave_to_image(jnp.asarray(waves), cfg)
+        recon = np.asarray(image_to_wave(img, cfg))
+        m = pitch_accuracy(recon, pitches, cfg.sample_rate)
+        assert m["pitch_accuracy"] == 1.0, m
+        # regression guard on spectral distance (the mel pinv floors
+        # low-energy bins, which dominates this metric; ~5 nats is the
+        # current lossy-roundtrip level)
+        assert log_spectral_distance(waves, recon) < 8.0
+
+
+class TestLogSpectralDistance:
+    def test_zero_for_identical(self):
+        w = synthesize_note(60)[None]
+        assert log_spectral_distance(w, w) == 0.0
+
+    def test_orders_distances(self):
+        a = synthesize_note(60, seed=1)[None]
+        b = synthesize_note(60, seed=2)[None]   # same pitch, new phases
+        c = synthesize_note(84, seed=3)[None]   # different pitch
+        assert log_spectral_distance(a, b) < log_spectral_distance(a, c)
+
+
+class TestEvaluateSampler:
+    def test_harness_on_oracle_sampler(self):
+        """Feed a 'perfect generator' (fixtures through the spectral
+        roundtrip) and expect near-perfect scores."""
+        cfg = AudioConfig()
+
+        def oracle_sampler(key, pitches):
+            waves = np.stack([synthesize_note(int(p)) for p in pitches])
+            img = wave_to_image(jnp.asarray(waves), cfg)
+            return jnp.asarray(image_to_wave(img, cfg)), img
+
+        m = evaluate_sampler(
+            oracle_sampler, pitches=[40, 60, 80], samples_per_pitch=2
+        )
+        assert m["num_samples"] == 6.0
+        assert m["pitch_accuracy"] == 1.0
+        assert m["rms"] > 0.01

@@ -83,6 +83,36 @@ class TestLoop:
         audio, sr = read_wav(os.path.join(workdir, "samples", wavs[0]))
         assert sr == 16000 and audio.shape == (64000,)
 
+    def test_smoke_training_learns_pitch(self, tfrecord):
+        """Integration smoke (SURVEY.md §4 item 5): a short run on the
+        synthetic fixtures must show learning — the discriminator's
+        auxiliary pitch head is a supervised task, so its cross-entropy
+        falls reliably even while the adversarial losses oscillate."""
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            TINY,
+            train=dataclasses.replace(
+                TINY.train, fade_steps=1000, stable_steps=1000
+            ),  # stay at stage 0 for the whole smoke
+        )
+        ces = []
+        train(
+            cfg,
+            data_iter(tfrecord, batch=8),
+            num_steps=100,
+            on_metrics=lambda step, stage, m: ces.append(
+                float(m["d_pitch_ce"])
+            ),
+        )
+        assert len(ces) == 100
+        assert all(np.isfinite(ces))
+        early = np.mean(ces[:10])
+        late = np.mean(ces[-10:])
+        # measured trajectory at this config: ~4.01 -> ~3.6 over 100 steps,
+        # monotonic; require a clear fraction of that
+        assert late < early - 0.15, (early, late)
+
     def test_loop_on_mesh(self, tfrecord):
         state = train(TINY, data_iter(tfrecord, batch=8), num_steps=2,
                       use_mesh=True)
