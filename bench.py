@@ -23,8 +23,10 @@ import numpy as np
 
 def main() -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=64)
-    parser.add_argument("--scan-iters", type=int, default=16,
+    parser.add_argument("--batch", type=int, default=128,
+                        help="batch 128 is the measured throughput sweet "
+                        "spot on v5e (64: ~5.8k xRT, 128: ~7.9k, 256: ~7.7k)")
+    parser.add_argument("--scan-iters", type=int, default=8,
                         help="synthesis batches per timed device program")
     parser.add_argument("--repeats", type=int, default=5)
     parser.add_argument("--dtype", default="bfloat16",
