@@ -1,1 +1,5 @@
-from gansynth_tpu.synth.sampler import Sampler, make_sampler  # noqa: F401
+from gansynth_tpu.synth.sampler import (  # noqa: F401
+    Sampler,
+    make_dp_sampler,
+    make_sampler,
+)

@@ -53,6 +53,38 @@ def make_sampler(config: Config, stage: Optional[int] = None):
     return sample
 
 
+def make_dp_sampler(config: Config, mesh, stage: Optional[int] = None):
+    """Data-parallel sampler over a mesh: params replicated, the pitch
+    batch and output waveforms sharded on the batch axis — latent->audio
+    serving scales across a slice with zero code changes to the model
+    (SURVEY.md §2.7). Returns ``sample(params, key, pitch)``.
+    """
+    from gansynth_tpu.parallel.sharding import (
+        batch_sharding,
+        replicated_sharding,
+    )
+
+    stage = config.model.num_stages - 1 if stage is None else stage
+    g = Generator(config.model)
+    rep, shard = replicated_sharding(mesh), batch_sharding(mesh)
+
+    def _sample(params, key, pitch):
+        z = jax.random.normal(
+            key, (pitch.shape[0], config.model.latent_dim), jnp.float32
+        )
+        labels = pitch_to_onehot(pitch, config)
+        image = g.apply(params, z, labels, stage, jnp.float32(1.0))
+        factor = 1 << (config.model.num_stages - 1 - stage)
+        full = upsample_nearest(image, factor) if factor > 1 else image
+        return image_to_wave(full, config.audio)
+
+    return jax.jit(
+        _sample,
+        in_shardings=(rep, None, shard),
+        out_shardings=shard,
+    )
+
+
 class Sampler:
     """Convenience wrapper holding config + generator params (C3 path:
     restore EMA params from checkpoint, then ``sampler(key, pitches)``)."""

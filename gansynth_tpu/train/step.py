@@ -74,7 +74,8 @@ def make_train_step(
         k_zd, k_interp, k_zg = jax.random.split(base, 3)
 
         labels = pitch_to_onehot(pitch, config)
-        real = real_image_for_stage(wave.astype(jnp.float32), stage, config)
+        with jax.named_scope("spectral_frontend"):
+            real = real_image_for_stage(wave.astype(jnp.float32), stage, config)
         batch = real.shape[0]
 
         # ----- discriminator update (T1 + T2 + T3) -----
@@ -106,9 +107,10 @@ def make_train_step(
             }
             return loss, metrics
 
-        (_, d_metrics), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            state.d_params
-        )
+        with jax.named_scope("discriminator_update"):
+            (_, d_metrics), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(state.d_params)
         d_updates, d_opt = opt.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
 
@@ -123,9 +125,10 @@ def make_train_step(
             loss = adv + t.aux_pitch_weight * ce
             return loss, {"g_loss": loss, "g_adv": adv, "g_pitch_ce": ce}
 
-        (_, g_metrics), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.g_params
-        )
+        with jax.named_scope("generator_update"):
+            (_, g_metrics), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(state.g_params)
         g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 

@@ -38,6 +38,31 @@ def test_sample_deterministic_per_key(state):
     assert np.abs(np.asarray(w1) - np.asarray(w3)).max() > 0
 
 
+def test_dp_sampler_matches_single_device(state):
+    """Mesh-sharded sampling (pod serving path) == single-device sampling
+    for the same key and pitches."""
+    from gansynth_tpu.parallel import make_mesh
+    from gansynth_tpu.synth import make_dp_sampler
+
+    pitches = jnp.asarray(list(range(30, 78, 6)), jnp.int32)  # 8, one per dev
+    single = make_sampler(CFG)
+    w1, _ = single(state.ema_params, jax.random.key(3), pitches)
+
+    mesh = make_mesh()
+    dp = make_dp_sampler(CFG, mesh)
+    params = jax.device_put(
+        state.ema_params,
+        __import__("gansynth_tpu.parallel.sharding", fromlist=["x"])
+        .replicated_sharding(mesh),
+    )
+    w8 = dp(params, jax.random.key(3), pitches)
+    assert not w8.sharding.is_fully_replicated  # batch-sharded output
+    # identical math; tolerance scaled to the signal for reduction-order
+    # float noise under different partitionings
+    a, b = np.asarray(w1), np.asarray(w8)
+    np.testing.assert_allclose(a, b, atol=2e-4 * max(np.abs(a).max(), 1.0))
+
+
 def test_low_stage_sampler(state):
     sample = make_sampler(CFG, stage=2)
     wave, image = sample(state.ema_params, jax.random.key(0),
