@@ -102,22 +102,45 @@ def cmd_train(args) -> int:
     return 0
 
 
-def cmd_generate(args) -> int:
-    import jax
+def _restore_sampler(args, config):
+    """Restore the EMA generator and build a sampler at the right stage.
 
+    A checkpoint taken mid-ladder has untrained blocks above its stage;
+    sampling must run at the TRAINED stage (derived from the restored
+    step via the schedule; waveforms are synthesized from the
+    nearest-upsampled full-resolution image below the final stage).
+    ``--stage`` overrides.
+    """
     from gansynth_tpu.synth import Sampler
+    from gansynth_tpu.train.schedule import ProgressiveSchedule
     from gansynth_tpu.train.state import create_train_state
-    from gansynth_tpu.utils.audio_io import write_wav
     from gansynth_tpu.utils.checkpoint import Checkpointer
 
-    config = _build_config(args)
     template = create_train_state(config)
     ckpt = Checkpointer(os.path.join(args.model_dir, "checkpoints"))
     state, step = ckpt.restore(template)
-    print(f"restored EMA generator from step {step}")
+    if args.stage == "auto":
+        schedule = ProgressiveSchedule(
+            num_stages=config.model.num_stages,
+            fade_steps=config.train.fade_steps,
+            stable_steps=config.train.stable_steps,
+        )
+        stage, _ = schedule.stage_and_alpha(max(step - 1, 0))
+    else:
+        stage = int(args.stage)
+    print(f"restored EMA generator from step {step} (sampling at stage "
+          f"{stage}, {config.model.stage_resolution(stage)})")
+    return Sampler(config, state.ema_params, stage=stage), step
 
+
+def cmd_generate(args) -> int:
+    import jax
+
+    from gansynth_tpu.utils.audio_io import write_wav
+
+    config = _build_config(args)
+    sampler, step = _restore_sampler(args, config)
     pitches = [int(p) for p in args.pitches]
-    sampler = Sampler(config, state.ema_params)
     os.makedirs(args.output_dir, exist_ok=True)
     key = jax.random.key(args.seed)
     for i in range(args.num_samples):
@@ -164,15 +187,9 @@ def cmd_evaluate(args) -> int:
     import json as _json
 
     from gansynth_tpu.evaluation import evaluate_sampler
-    from gansynth_tpu.synth import Sampler
-    from gansynth_tpu.train.state import create_train_state
-    from gansynth_tpu.utils.checkpoint import Checkpointer
 
     config = _build_config(args)
-    template = create_train_state(config)
-    ckpt = Checkpointer(os.path.join(args.model_dir, "checkpoints"))
-    state, step = ckpt.restore(template)
-    sampler = Sampler(config, state.ema_params)
+    sampler, step = _restore_sampler(args, config)
     metrics = evaluate_sampler(
         sampler,
         pitches=[int(p) for p in args.pitches],
@@ -224,6 +241,9 @@ def main(argv=None) -> int:
     p.add_argument("--pitches", nargs="+", default=["60"],
                    help="MIDI pitches (24..84)")
     p.add_argument("--num-samples", type=int, default=1)
+    p.add_argument("--stage", default="auto",
+                   help="generator stage to sample at; 'auto' derives the "
+                   "trained stage from the checkpoint step + schedule")
     _add_common_train_flags(p)
     p.set_defaults(fn=cmd_generate)
 
@@ -233,6 +253,9 @@ def main(argv=None) -> int:
     p.add_argument("--pitches", nargs="+", default=[str(p) for p in
                                                     range(24, 85, 12)])
     p.add_argument("--samples-per-pitch", type=int, default=4)
+    p.add_argument("--stage", default="auto",
+                   help="generator stage to sample at; 'auto' derives the "
+                   "trained stage from the checkpoint step + schedule")
     _add_common_train_flags(p)
     p.set_defaults(fn=cmd_evaluate)
 

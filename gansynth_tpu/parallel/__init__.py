@@ -3,5 +3,7 @@ from gansynth_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
     replicated_sharding,
     shard_train_inputs,
+    shard_host_local_batch,
+    initialize_multihost,
     jit_train_step_for_mesh,
 )

@@ -65,6 +65,46 @@ def shard_train_inputs(mesh: Mesh, state, wave, pitch):
     return state, jax.device_put(wave, shard), jax.device_put(pitch, shard)
 
 
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host pod-slice setup: one call per process before any JAX op.
+
+    On Cloud TPU pods the arguments are auto-detected from the metadata
+    server (pass nothing); elsewhere pass them explicitly. After this,
+    ``jax.devices()`` spans the whole slice and :func:`make_mesh` builds a
+    global data mesh — the rest of the framework is unchanged.
+    """
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def shard_host_local_batch(mesh: Mesh, wave, pitch):
+    """Assemble a GLOBAL batch from per-process host-local shards.
+
+    In multi-host training each process decodes only its slice of the
+    global batch (``make_nsynth_iterator(..., num_shards=jax.process_count(),
+    shard_index=jax.process_index())``); this stitches those local arrays
+    into global jax.Arrays with the mesh's batch sharding. In a
+    single-process run it degrades to a plain sharded device_put.
+    """
+    import numpy as np
+
+    sharding = batch_sharding(mesh)
+    wave_g = jax.make_array_from_process_local_data(sharding, np.asarray(wave))
+    pitch_g = jax.make_array_from_process_local_data(
+        sharding, np.asarray(pitch)
+    )
+    return wave_g, pitch_g
+
+
 def jit_train_step_for_mesh(step_fn: Callable, mesh: Mesh):
     """Jit a ``(state, wave, pitch, alpha) -> (state, metrics)`` step with
     explicit DP shardings (donating the state buffer)."""
