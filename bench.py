@@ -1,15 +1,18 @@
-"""North-star benchmark: latent+pitch -> waveform synthesis throughput,
-x-real-time per chip (BASELINE.md / SURVEY.md §6).
+"""North-star benchmark (BASELINE.md / SURVEY.md §6). Prints ONE JSON line.
 
-Runs the fully-jitted full-resolution synthesis path (generator at
-128x1024 + mel pseudo-inverse + phase cumsum + iSTFT) steady-state on the
-default JAX device and prints ONE JSON line:
+Default metric: latent+pitch -> waveform synthesis throughput, x-real-time
+per chip, on the fully-jitted full-resolution path (generator at 128x1024
++ mel pseudo-inverse + phase cumsum + iSTFT), steady-state:
 
     {"metric": "synthesis_x_realtime_per_chip", "value": N,
      "unit": "x_realtime", "vs_baseline": N / 50}
 
-Baseline: the target from BASELINE.json — >= 50x real-time per chip
-(the reference publishes no numbers of its own; 50x is the binding bar).
+Baseline: the target from BASELINE.json — >= 50x real-time per chip (the
+reference publishes no numbers of its own; 50x is the binding bar).
+
+``--metric train`` instead measures the second north-star: full WGAN-GP
+training steps/sec at the final 128x1024 stage (vs_baseline is examples/s
+— no published reference number exists to normalize against).
 """
 
 from __future__ import annotations
@@ -19,6 +22,47 @@ import json
 import time
 
 import numpy as np
+
+
+def bench_train(args, jax, jnp) -> int:
+    """Second north-star: full-res WGAN-GP steps/sec on one chip."""
+    from gansynth_tpu.train import create_train_state, make_train_step
+    from gansynth_tpu.utils.config import Config, ModelConfig, TrainConfig
+
+    config = Config(
+        model=ModelConfig(compute_dtype=args.dtype),
+        train=TrainConfig(batch_size=args.train_batch),
+    )
+    stage = config.model.num_stages - 1
+    state = create_train_state(config, seed=0)
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(
+        (0.1 * rng.standard_normal(
+            (args.train_batch, config.audio.audio_length)
+        )).astype(np.float32)
+    )
+    pitch = jnp.asarray(rng.integers(24, 85, args.train_batch), jnp.int32)
+    step = jax.jit(make_train_step(config, stage), donate_argnums=0)
+
+    state, metrics = step(state, wave, pitch, jnp.float32(1.0))  # compile
+    float(metrics["d_loss"])
+    k = 6
+    t0 = time.perf_counter()
+    for _ in range(k):
+        state, metrics = step(state, wave, pitch, jnp.float32(1.0))
+    assert np.isfinite(float(metrics["d_loss"]))  # sync
+    per = (time.perf_counter() - t0) / k
+    print(
+        json.dumps(
+            {
+                "metric": "train_steps_per_sec_128x1024",
+                "value": round(1.0 / per, 3),
+                "unit": f"steps/s (global batch {args.train_batch})",
+                "vs_baseline": round(args.train_batch / per, 2),
+            }
+        )
+    )
+    return 0
 
 
 def main() -> int:
@@ -33,6 +77,9 @@ def main() -> int:
                         choices=["float32", "bfloat16"],
                         help="MXU compute dtype (params/spectral stay f32; "
                         "tests assert bf16~f32 output agreement)")
+    parser.add_argument("--metric", default="synthesis",
+                        choices=["synthesis", "train"])
+    parser.add_argument("--train-batch", type=int, default=8)
     args = parser.parse_args()
 
     import jax
@@ -47,11 +94,17 @@ def main() -> int:
     from gansynth_tpu.train.step import pitch_to_onehot
     from gansynth_tpu.utils.config import AudioConfig, Config, ModelConfig
 
+    # TPU-tuned synthesis: fused Pallas spectrum kernel + matmul iDFT.
+    # (Compiled Pallas requires a TPU; fall back to the XLA lowering when
+    # someone runs the bench on CPU.)
+    kernel = "pallas" if jax.default_backend() != "cpu" else "xla"
     config = Config(
         model=ModelConfig(compute_dtype=args.dtype),
-        # TPU-tuned synthesis: fused Pallas spectrum kernel + matmul iDFT
-        audio=AudioConfig(synthesis_kernel="pallas"),
+        audio=AudioConfig(synthesis_kernel=kernel),
     )
+
+    if args.metric == "train":
+        return bench_train(args, jax, jnp)
     m = config.model
     stage = m.num_stages - 1
     g = Generator(m)

@@ -84,7 +84,7 @@ def train(
     if state is None:
         state = create_train_state(config)
         if checkpointer is not None and checkpointer.latest_step() is not None:
-            state, restored = checkpointer.restore(state)
+            state, _ = checkpointer.restore(state)
 
     if use_mesh and mesh is None:
         mesh = make_mesh()
@@ -142,7 +142,7 @@ def train(
             _dump_samples(config, state, stage, new_step, workdir)
 
     if checkpointer is not None:
-        checkpointer._mgr.wait_until_finished()
+        checkpointer.wait()
     if logger is not None:
         logger.close()
     return state

@@ -68,6 +68,10 @@ class Checkpointer:
         restored = self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
         return _wrap_keys(restored), step
 
+    def wait(self) -> None:
+        """Block until pending async saves are durable."""
+        self._mgr.wait_until_finished()
+
     def close(self) -> None:
         self._mgr.wait_until_finished()
         self._mgr.close()
