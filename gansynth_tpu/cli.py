@@ -130,7 +130,7 @@ def _restore_sampler(args, config):
         stage = int(args.stage)
     print(f"restored EMA generator from step {step} (sampling at stage "
           f"{stage}, {config.model.stage_resolution(stage)})")
-    return Sampler(config, state.ema_params, stage=stage), step
+    return Sampler(config, state.ema_params, stage=stage), step, stage
 
 
 def cmd_generate(args) -> int:
@@ -139,7 +139,7 @@ def cmd_generate(args) -> int:
     from gansynth_tpu.utils.audio_io import write_wav
 
     config = _build_config(args)
-    sampler, step = _restore_sampler(args, config)
+    sampler, step, _ = _restore_sampler(args, config)
     pitches = [int(p) for p in args.pitches]
     os.makedirs(args.output_dir, exist_ok=True)
     key = jax.random.key(args.seed)
@@ -189,7 +189,7 @@ def cmd_evaluate(args) -> int:
     from gansynth_tpu.evaluation import evaluate_sampler
 
     config = _build_config(args)
-    sampler, step = _restore_sampler(args, config)
+    sampler, step, _ = _restore_sampler(args, config)
     metrics = evaluate_sampler(
         sampler,
         pitches=[int(p) for p in args.pitches],
@@ -199,6 +199,19 @@ def cmd_evaluate(args) -> int:
     )
     metrics["checkpoint_step"] = step
     print(_json.dumps(metrics))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from gansynth_tpu.serve import SynthesisService, serve_forever
+
+    config = _build_config(args)
+    sampler, step, stage = _restore_sampler(args, config)
+    service = SynthesisService(
+        config, sampler.params, stage=stage, max_batch=args.max_batch
+    )
+    print(f"model at step {step}; warmup compile done")
+    serve_forever(service, args.host, args.port)
     return 0
 
 
@@ -258,6 +271,16 @@ def main(argv=None) -> int:
                    "trained stage from the checkpoint step + schedule")
     _add_common_train_flags(p)
     p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("serve", help="HTTP synthesis server (POST /synthesize)")
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8400)
+    p.add_argument("--max-batch", type=int, default=16)
+    p.add_argument("--stage", default="auto",
+                   help="generator stage; 'auto' derives from checkpoint")
+    _add_common_train_flags(p)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("roundtrip", help="wave -> mel-IF -> wave check")
     p.add_argument("--input", help="16 kHz mono wav (default: synthetic note)")

@@ -90,6 +90,12 @@ def train(
         mesh = make_mesh()
     if mesh is not None:
         state = jax.device_put(state, replicated_sharding(mesh))
+        # Double-buffered sharded infeed: keep batches transferred ahead of
+        # the step so host decode overlaps device compute (SURVEY.md §7
+        # step 5; mitigates hard-part 4).
+        from gansynth_tpu.data.nsynth import prefetch_to_mesh
+
+        data_iter = prefetch_to_mesh(data_iter, mesh, depth=2)
 
     step_fns: Dict[int, Callable] = {}
 
