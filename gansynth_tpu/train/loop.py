@@ -28,9 +28,12 @@ from gansynth_tpu.train.step import make_train_step
 from gansynth_tpu.utils.config import Config
 
 
-def _dump_samples(config, state, stage: int, step: int, workdir: str) -> None:
-    """Periodic EMA-generator audio artifacts (SURVEY.md §5): sample the
-    configured pitches at the CURRENT stage and write wavs."""
+def _dump_samples(
+    config, state, stage: int, step: int, workdir: str, logger=None
+) -> None:
+    """Periodic EMA-generator artifacts (SURVEY.md §5): sample the
+    configured pitches at the CURRENT stage, write wavs, and emit
+    TensorBoard audio/spectrogram summaries when a logger is attached."""
     import os
 
     from gansynth_tpu.synth.sampler import make_sampler
@@ -39,7 +42,7 @@ def _dump_samples(config, state, stage: int, step: int, workdir: str) -> None:
     sample = make_sampler(config, stage)
     pitches = jnp.asarray(config.train.sample_pitches, jnp.int32)
     key = jax.random.fold_in(jax.random.key(config.train.seed), step)
-    waves, _ = sample(state.ema_params, key, pitches)
+    waves, images = sample(state.ema_params, key, pitches)
     out_dir = os.path.join(workdir, "samples")
     os.makedirs(out_dir, exist_ok=True)
     for pitch, wave in zip(config.train.sample_pitches, np.asarray(waves)):
@@ -48,6 +51,8 @@ def _dump_samples(config, state, stage: int, step: int, workdir: str) -> None:
             wave,
             config.audio.sample_rate,
         )
+    if logger is not None:
+        logger.log_artifacts(step, waves, images, config.audio.sample_rate)
 
 
 def train(
@@ -145,7 +150,7 @@ def train(
             and config.train.sample_every
             and new_step % config.train.sample_every == 0
         ):
-            _dump_samples(config, state, stage, new_step, workdir)
+            _dump_samples(config, state, stage, new_step, workdir, logger)
 
     if checkpointer is not None:
         checkpointer.wait()

@@ -160,6 +160,27 @@ class Config:
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
 
+    def with_overrides(self, overrides: dict) -> "Config":
+        """Apply a nested override dict, e.g. from a ``--config`` JSON file:
+        ``{"audio": {...}, "model": {...}, "train": {...}}``. Unknown keys
+        raise (typo protection)."""
+        sections = {}
+        for section, values in overrides.items():
+            if section not in ("audio", "model", "train"):
+                raise ValueError(f"unknown config section {section!r}")
+            current = getattr(self, section)
+            field_names = {f.name for f in dataclasses.fields(current)}
+            unknown = set(values) - field_names
+            if unknown:
+                raise ValueError(
+                    f"unknown {section} config keys: {sorted(unknown)}"
+                )
+            if "sample_pitches" in values:
+                values = dict(values)
+                values["sample_pitches"] = tuple(values["sample_pitches"])
+            sections[section] = dataclasses.replace(current, **values)
+        return dataclasses.replace(self, **sections)
+
 
 def scale(x, in_min, in_max, out_min, out_max):
     """Linear range map (the reference's ``utils.scale``, SURVEY.md §1 util row).

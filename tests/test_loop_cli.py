@@ -82,6 +82,11 @@ class TestLoop:
 
         audio, sr = read_wav(os.path.join(workdir, "samples", wavs[0]))
         assert sr == 16000 and audio.shape == (64000,)
+        # TensorBoard audio/image summaries were written alongside
+        tb_files = []
+        for root, _, files in os.walk(os.path.join(workdir, "tb")):
+            tb_files.extend(f for f in files if "tfevents" in f)
+        assert tb_files
 
     def test_smoke_training_learns_pitch(self, tfrecord):
         """Integration smoke (SURVEY.md §4 item 5): a short run on the
