@@ -121,20 +121,28 @@ def prefetch_to_mesh(
     """Double-buffered device infeed: keep ``depth`` batches already
     device_put with the mesh's batch sharding while the step consumes the
     head of the queue."""
-    from gansynth_tpu.parallel.sharding import batch_sharding
+    from gansynth_tpu.parallel.sharding import (
+        batch_sharding,
+        shard_host_local_batch,
+    )
 
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        # Multi-host: each process contributes its local slice of the
+        # global batch.
+        def put(wave, pitch):
+            return shard_host_local_batch(mesh, wave, pitch)
+    else:
+        def put(wave, pitch):
+            return jax.device_put(wave, sharding), jax.device_put(pitch, sharding)
+
     queue = collections.deque()
     it = iter(it)
     for wave, pitch in itertools.islice(it, depth):
-        queue.append(
-            (jax.device_put(wave, sharding), jax.device_put(pitch, sharding))
-        )
+        queue.append(put(wave, pitch))
     while queue:
         head = queue.popleft()
         nxt = next(it, None)
         if nxt is not None:
-            queue.append(
-                (jax.device_put(nxt[0], sharding), jax.device_put(nxt[1], sharding))
-            )
+            queue.append(put(nxt[0], nxt[1]))
         yield head
