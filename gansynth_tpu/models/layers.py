@@ -8,8 +8,10 @@ Progressive-GAN layer ops, written TPU-first:
 - Pixel norm (N2), minibatch stddev (N3), nearest-neighbor up / average
   down sampling (N4) as pure functions.
 - NHWC layout throughout; convolutions lower to XLA convolution HLOs that
-  map onto the MXU. All math f32 by default (the model is small enough
-  that bf16 is a bench-time option, not a requirement).
+  map onto the MXU. Parameters are always float32; ``compute_dtype``
+  selects the activation/matmul width (bfloat16 halves HBM traffic — the
+  measured bottleneck — while pixel-norm/minibatch-stddev reductions stay
+  float32).
 """
 
 from __future__ import annotations
