@@ -64,8 +64,13 @@ def write_synthetic_tfrecords(
     with tf.io.TFRecordWriter(path) as writer:
         for i in range(num_examples):
             pitch = int(pitches[i % len(pitches)])
+            # Timbre diversity (deterministic in `seed`): vary the
+            # harmonic count and the decay so the generator has to model a
+            # distribution per pitch, not memorize one waveform.
             audio = synthesize_note(
                 pitch, sample_rate=sample_rate, length=length,
+                num_harmonics=int(rng.integers(2, 7)),
+                decay=float(rng.uniform(0.8, 2.2)),
                 seed=int(rng.integers(0, 2**31)),
             )
             feat = {

@@ -115,3 +115,39 @@ def jit_train_step_for_mesh(step_fn: Callable, mesh: Mesh):
         out_shardings=(rep, rep),
         donate_argnums=0,
     )
+
+
+def chunk_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a stacked multi-step chunk [K, B, ...]: the scan axis
+    K replicated, the batch axis sharded."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
+def shard_host_local_chunk(mesh: Mesh, waves, pitches):
+    """Multi-step analog of :func:`shard_host_local_batch`: assemble
+    global [K, B, ...] chunks from per-process [K, B_local, ...] slices
+    (single-process: a plain sharded device_put)."""
+    import numpy as np
+
+    sharding = chunk_sharding(mesh)
+    waves_g = jax.make_array_from_process_local_data(
+        sharding, np.asarray(waves)
+    )
+    pitches_g = jax.make_array_from_process_local_data(
+        sharding, np.asarray(pitches)
+    )
+    return waves_g, pitches_g
+
+
+def jit_superstep_for_mesh(superstep_fn: Callable, mesh: Mesh):
+    """Jit a fused K-step program ``(state, waves [K, B, T], pitches
+    [K, B], alphas [K]) -> (state, metrics)`` with DP shardings: the scan
+    carries a replicated state; every inner step's batch math shards over
+    ``data`` exactly as the single-step program does."""
+    rep, chunk = replicated_sharding(mesh), chunk_sharding(mesh)
+    return jax.jit(
+        superstep_fn,
+        in_shardings=(rep, chunk, chunk, None),
+        out_shardings=(rep, rep),
+        donate_argnums=0,
+    )

@@ -8,7 +8,10 @@ One XLA program runs the whole synthesis path on device:
     -> inverse STFT (synthesis window OLA) -> 64000-sample waveform
 
 This path's throughput is the north-star metric (x-real-time per chip);
-``bench.py`` times it steady-state with ``block_until_ready``.
+``bench.py`` times it steady-state by amortizing batches inside one
+``lax.scan``d program and synchronizing through a fetched scalar checksum
+(``block_until_ready`` must never be used for timing on tunneled TPU
+backends — it does not block there).
 """
 
 from __future__ import annotations

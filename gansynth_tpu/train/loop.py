@@ -5,6 +5,17 @@ device program. One compiled step function per (stage) — 7 compiles over a
 full run — cached in a dict; fade alpha is a traced argument. Resume
 restores the full state pytree and recomputes (stage, alpha) from the
 restored step, so a restart lands exactly where it left off.
+
+With ``config.train.unroll > 1`` the loop fuses K consecutive steps into
+ONE device program (``make_superstep``'s ``lax.scan``), amortizing host
+dispatch; with ``device_dataset`` set, the whole (small) dataset lives in
+HBM and each inner step samples its batch on device — zero host transfer
+per step and a stateless, resume-exact data stream.
+
+Throughput telemetry synchronizes by FETCHING a scalar metric before
+reading the clock — on tunneled TPU backends ``block_until_ready`` does
+not actually block (see bench.py), so a fetch is the only device-true
+barrier.
 """
 
 from __future__ import annotations
@@ -17,14 +28,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from gansynth_tpu.parallel.sharding import (
+    jit_superstep_for_mesh,
     jit_train_step_for_mesh,
     make_mesh,
     replicated_sharding,
+    shard_host_local_chunk,
     shard_train_inputs,
 )
-from gansynth_tpu.train.schedule import ProgressiveSchedule
+from gansynth_tpu.train.schedule import schedule_from_config
 from gansynth_tpu.train.state import TrainState, create_train_state
-from gansynth_tpu.train.step import make_train_step
+from gansynth_tpu.train.step import (
+    make_cached_superstep,
+    make_superstep,
+    make_train_step,
+)
 from gansynth_tpu.utils.config import Config
 
 
@@ -55,9 +72,14 @@ def _dump_samples(
         logger.log_artifacts(step, waves, images, config.audio.sample_rate)
 
 
+def _crossed(prev: int, new: int, every: int) -> bool:
+    """True when (prev, new] contains a multiple of ``every``."""
+    return every > 0 and new // every > prev // every
+
+
 def train(
     config: Config,
-    data_iter: Iterator[Tuple[np.ndarray, np.ndarray]],
+    data_iter: Optional[Iterator[Tuple[np.ndarray, np.ndarray]]],
     *,
     num_steps: Optional[int] = None,
     workdir: Optional[str] = None,
@@ -66,16 +88,16 @@ def train(
     use_mesh: bool = False,
     checkpointer: Optional[object] = None,
     on_metrics: Optional[Callable[[int, int, Dict], None]] = None,
+    device_dataset: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> TrainState:
     """Run (or resume) training; returns the final state.
 
-    data_iter yields (wave [B, 64000] f32, pitch [B] int) numpy batches.
+    data_iter yields (wave [B, 64000] f32, pitch [B] int) numpy batches;
+    it may be None when ``device_dataset`` (all_waves [N, T], all_pitches
+    [N]) supplies an HBM-resident dataset instead.
     """
-    schedule = ProgressiveSchedule(
-        num_stages=config.model.num_stages,
-        fade_steps=config.train.fade_steps,
-        stable_steps=config.train.stable_steps,
-    )
+    schedule = schedule_from_config(config)
+    unroll = max(1, int(config.train.unroll))
     logger = None
     if workdir is not None:
         from gansynth_tpu.utils.logging import MetricLogger
@@ -93,64 +115,121 @@ def train(
 
     if use_mesh and mesh is None:
         mesh = make_mesh()
+    if device_dataset is not None:
+        if mesh is not None:
+            raise NotImplementedError(
+                "device_dataset is a single-device fast path; use the "
+                "streaming ingest for mesh runs"
+            )
+        all_waves = jnp.asarray(device_dataset[0], jnp.float32)
+        all_pitches = jnp.asarray(device_dataset[1], jnp.int32)
+        num_examples = int(all_waves.shape[0])
+    elif data_iter is None:
+        raise ValueError("pass data_iter or device_dataset")
     if mesh is not None:
         state = jax.device_put(state, replicated_sharding(mesh))
-        # Double-buffered sharded infeed: keep batches transferred ahead of
-        # the step so host decode overlaps device compute (SURVEY.md §7
-        # step 5; mitigates hard-part 4).
-        from gansynth_tpu.data.nsynth import prefetch_to_mesh
+        if unroll == 1:
+            # Double-buffered sharded infeed: keep batches transferred
+            # ahead of the step so host decode overlaps device compute
+            # (SURVEY.md §7 step 5; mitigates hard-part 4). With unroll>1
+            # the fused program amortizes the dispatch instead and chunks
+            # are assembled/sharded below.
+            from gansynth_tpu.data.nsynth import prefetch_to_mesh
 
-        data_iter = prefetch_to_mesh(data_iter, mesh, depth=2)
+            data_iter = prefetch_to_mesh(data_iter, mesh, depth=2)
 
     step_fns: Dict[int, Callable] = {}
 
-    def get_step_fn(stage: int):
-        if stage not in step_fns:
-            fn = make_train_step(config, stage)
-            step_fns[stage] = (
-                jit_train_step_for_mesh(fn, mesh)
-                if mesh is not None
-                else jax.jit(fn, donate_argnums=0)
-            )
-        return step_fns[stage]
+    def get_step_fn(stage: int, fused: bool):
+        key = (stage, fused)
+        if key not in step_fns:
+            if device_dataset is not None:
+                fn = make_cached_superstep(config, stage, num_examples)
+                step_fns[key] = jax.jit(fn, donate_argnums=0)
+            elif not fused:
+                fn = make_train_step(config, stage)
+                step_fns[key] = (
+                    jit_train_step_for_mesh(fn, mesh)
+                    if mesh is not None
+                    else jax.jit(fn, donate_argnums=0)
+                )
+            else:
+                fn = make_superstep(config, stage)
+                step_fns[key] = (
+                    jit_superstep_for_mesh(fn, mesh)
+                    if mesh is not None
+                    else jax.jit(fn, donate_argnums=0)
+                )
+        return step_fns[key]
 
     start = int(state.step)
     end = schedule.total_steps() if num_steps is None else start + num_steps
     t_last = time.perf_counter()
     steps_since_log = 0
 
-    for step_idx in range(start, end):
-        stage, alpha = schedule.stage_and_alpha(step_idx)
-        wave, pitch = next(data_iter)
-        if mesh is not None and not hasattr(wave, "sharding"):
-            state, wave, pitch = shard_train_inputs(mesh, state, wave, pitch)
-        state, metrics = get_step_fn(stage)(
-            state, jnp.asarray(wave), jnp.asarray(pitch), jnp.float32(alpha)
+    step_idx = start
+    while step_idx < end:
+        stage, _ = schedule.stage_and_alpha(step_idx)
+        k = min(unroll, end - step_idx,
+                schedule.steps_until_stage_change(step_idx))
+        alphas = np.asarray(
+            [schedule.stage_and_alpha(step_idx + i)[1] for i in range(k)],
+            np.float32,
         )
-        steps_since_log += 1
 
-        new_step = step_idx + 1
+        if device_dataset is not None:
+            state, metrics = get_step_fn(stage, True)(
+                state, all_waves, all_pitches, jnp.asarray(alphas)
+            )
+        elif k == 1 and unroll == 1:
+            wave, pitch = next(data_iter)
+            if mesh is not None and not hasattr(wave, "sharding"):
+                state, wave, pitch = shard_train_inputs(
+                    mesh, state, wave, pitch
+                )
+            state, metrics = get_step_fn(stage, False)(
+                state, jnp.asarray(wave), jnp.asarray(pitch),
+                jnp.float32(alphas[0]),
+            )
+        else:
+            batches = [next(data_iter) for _ in range(k)]
+            waves = np.stack([np.asarray(b[0]) for b in batches])
+            pitches = np.stack([np.asarray(b[1]) for b in batches])
+            if mesh is not None:
+                waves, pitches = shard_host_local_chunk(mesh, waves, pitches)
+            state, metrics = get_step_fn(stage, True)(
+                state, jnp.asarray(waves), jnp.asarray(pitches),
+                jnp.asarray(alphas),
+            )
+        steps_since_log += k
+
+        new_step = step_idx + k
         if logger is not None and (
-            new_step % config.train.log_every == 0 or new_step == end
+            _crossed(step_idx, new_step, config.train.log_every)
+            or new_step == end
         ):
-            jax.block_until_ready(metrics)
-            now = time.perf_counter()
+            # Device-true sync: FETCH one scalar (block_until_ready does
+            # not block on tunneled backends) before reading the clock.
             metrics = dict(metrics)
+            metrics["d_loss"] = float(jax.device_get(metrics["d_loss"]))
+            now = time.perf_counter()
             metrics["steps_per_sec"] = steps_since_log / max(now - t_last, 1e-9)
             t_last, steps_since_log = now, 0
             logger.log(new_step, metrics, stage=stage)
         if on_metrics is not None:
             on_metrics(new_step, stage, metrics)
         if checkpointer is not None and (
-            new_step % config.train.checkpoint_every == 0 or new_step == end
+            _crossed(step_idx, new_step, config.train.checkpoint_every)
+            or new_step == end
         ):
             checkpointer.save(new_step, state)
         if (
             workdir is not None
             and config.train.sample_every
-            and new_step % config.train.sample_every == 0
+            and _crossed(step_idx, new_step, config.train.sample_every)
         ):
             _dump_samples(config, state, stage, new_step, workdir, logger)
+        step_idx = new_step
 
     if checkpointer is not None:
         checkpointer.wait()

@@ -89,19 +89,25 @@ def make_train_step(
                 return d.apply(d_params, x, stage, alpha)
 
             c_real, logits_real = critic_fn(real)
-            c_fake, _ = critic_fn(fake)
+            c_fake, logits_fake = critic_fn(fake)
             wgan = losses.wgan_critic_loss(c_real, c_fake)
             gp = losses.gradient_penalty(critic_fn, real, fake, k_interp)
             drift = losses.drift_penalty(c_real)
             ce = losses.pitch_cross_entropy(logits_real, labels)
+            # SURVEY.md DS2: the AC-GAN pitch head trains on real AND fake
+            # batches (both at the same weight); config-gated for the
+            # real-only ablation.
+            ce_fake = losses.pitch_cross_entropy(logits_fake, labels)
+            aux = ce + ce_fake if t.d_pitch_ce_on_fake else ce
             loss = wgan + t.gp_weight * gp + t.drift_weight * drift \
-                + t.aux_pitch_weight * ce
+                + t.aux_pitch_weight * aux
             metrics = {
                 "d_loss": loss,
                 "wgan": wgan,
                 "gradient_penalty": gp,
                 "drift": drift,
                 "d_pitch_ce": ce,
+                "d_pitch_ce_fake": ce_fake,
                 "critic_real": jnp.mean(c_real),
                 "critic_fake": jnp.mean(c_fake),
             }
@@ -146,3 +152,65 @@ def make_train_step(
         return new_state, {**d_metrics, **g_metrics, "alpha": alpha}
 
     return step_fn
+
+
+def make_superstep(
+    config: Config, stage: int
+) -> Callable[[TrainState, jax.Array, jax.Array, jax.Array],
+              Tuple[TrainState, Dict[str, jax.Array]]]:
+    """K train steps fused into ONE device program via ``lax.scan``.
+
+    ``(state, waves [K, B, T], pitches [K, B], alphas [K]) ->
+    (state, metrics)`` — metrics are means over the K inner steps (plus
+    the last alpha). Per-step RNG still derives from ``(state.rng,
+    state.step)``, so a run chunked as K=8 supersteps is bitwise identical
+    to 8 single steps. Amortizing host dispatch this way is what keeps
+    training device-paced (SURVEY.md §3.1's "no host-side Python hot
+    loop", applied to the dispatch boundary itself).
+    """
+    step_fn = make_train_step(config, stage)
+
+    def superstep(state, waves, pitches, alphas):
+        def body(s, xs):
+            wave, pitch, alpha = xs
+            return step_fn(s, wave, pitch, alpha)
+
+        state, metrics = jax.lax.scan(body, state, (waves, pitches, alphas))
+        out = jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
+        out["alpha"] = alphas[-1]
+        return state, out
+
+    return superstep
+
+
+def make_cached_superstep(
+    config: Config, stage: int, num_examples: int
+) -> Callable[[TrainState, jax.Array, jax.Array, jax.Array],
+              Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Superstep over a DEVICE-RESIDENT dataset: zero host transfer/step.
+
+    ``(state, all_waves [N, T], all_pitches [N], alphas [K])`` — each
+    inner step samples its batch uniformly (with replacement) from the
+    cached dataset with a key derived purely from ``(state.rng,
+    state.step)``, so the data stream is stateless: resume at step ``s``
+    replays the identical batches with no iterator state to persist.
+    Intended for datasets that fit in HBM (fixtures, subsets); the
+    streaming ingest path covers the rest.
+    """
+    step_fn = make_train_step(config, stage)
+    batch = config.train.batch_size
+
+    def superstep(state, all_waves, all_pitches, alphas):
+        def body(s, alpha):
+            # Distinct from step_fn's internal fold_in(rng, step) stream:
+            # one extra fold with a constant salt.
+            k = jax.random.fold_in(jax.random.fold_in(s.rng, s.step), 0x5A17)
+            idx = jax.random.randint(k, (batch,), 0, num_examples)
+            return step_fn(s, all_waves[idx], all_pitches[idx], alpha)
+
+        state, metrics = jax.lax.scan(body, state, alphas)
+        out = jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
+        out["alpha"] = alphas[-1]
+        return state, out
+
+    return superstep

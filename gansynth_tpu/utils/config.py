@@ -12,7 +12,7 @@ Provenance tags in comments refer to SURVEY.md §0's scheme.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -139,11 +139,24 @@ class TrainConfig:
     gp_weight: float = 10.0         # [K-high] WGAN-GP lambda
     drift_weight: float = 1e-3      # [K-med] PGGAN epsilon-drift
     aux_pitch_weight: float = 10.0  # [K-med] AC-GAN pitch CE weight
+    # SURVEY.md DS2: the AC-GAN head trains on "real and fake" examples.
+    # True (parity default) adds the fake-batch pitch CE to D's objective;
+    # False restores the real-only variant (documented in PARITY.md).
+    d_pitch_ce_on_fake: bool = True
     ema_decay: float = 0.999        # [K-med]
     # Progressive schedule: each stage > 0 fades in over `fade_steps`, then
-    # stabilizes for `stable_steps`. Stage 0 has no fade.
+    # stabilizes for `stable_steps`. Stage 0 has no fade. The per-stage
+    # tuples override the scalars stage-by-stage when set (compressed
+    # schedules spend more steps at the cheap low resolutions).
     fade_steps: int = 800_000
     stable_steps: int = 800_000
+    stage_fade_steps: Optional[Tuple[int, ...]] = None
+    stage_stable_steps: Optional[Tuple[int, ...]] = None
+    # Steps fused into ONE device program (a lax.scan over the train
+    # step). Amortizes per-dispatch host overhead — on real pods this is
+    # the difference between host-paced and device-paced training; through
+    # this machine's tunneled backend it is essential. 1 = classic loop.
+    unroll: int = 1
     seed: int = 0
     checkpoint_every: int = 2000
     log_every: int = 100
@@ -175,9 +188,13 @@ class Config:
                 raise ValueError(
                     f"unknown {section} config keys: {sorted(unknown)}"
                 )
-            if "sample_pitches" in values:
-                values = dict(values)
-                values["sample_pitches"] = tuple(values["sample_pitches"])
+            # JSON has no tuples; every sequence-valued config field is a
+            # tuple (sample_pitches, stage_fade_steps, ...), so lists map
+            # to tuples across the board.
+            values = {
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in values.items()
+            }
             sections[section] = dataclasses.replace(current, **values)
         return dataclasses.replace(self, **sections)
 
