@@ -1,18 +1,28 @@
 """North-star benchmark (BASELINE.md / SURVEY.md §6). Prints ONE JSON line.
 
-Default metric: latent+pitch -> waveform synthesis throughput, x-real-time
-per chip, on the fully-jitted full-resolution path (generator at 128x1024
-+ mel pseudo-inverse + phase cumsum + iSTFT), steady-state:
+Default invocation measures BOTH headline metrics and emits them in one
+JSON object:
+
+- latent+pitch -> waveform synthesis throughput, x-real-time per chip, on
+  the fully-jitted full-resolution path (generator at 128x1024 + mel
+  pseudo-inverse + phase cumsum + iSTFT), steady-state; and
+- full WGAN-GP training steps/sec at the final 128x1024 stage, with an
+  MFU estimate (XLA's own per-program FLOP count / wall time / peak chip
+  FLOPs).
 
     {"metric": "synthesis_x_realtime_per_chip", "value": N,
-     "unit": "x_realtime", "vs_baseline": N / 50}
+     "unit": "x_realtime", "vs_baseline": N / 50,
+     "train_steps_per_sec": M, "train_examples_per_sec": E,
+     "train_mfu": F, ...}
 
 Baseline: the target from BASELINE.json — >= 50x real-time per chip (the
 reference publishes no numbers of its own; 50x is the binding bar).
 
-``--metric train`` instead measures the second north-star: full WGAN-GP
-training steps/sec at the final 128x1024 stage (vs_baseline is examples/s
-— no published reference number exists to normalize against).
+Timing discipline (CLAUDE.md): every measurement amortizes many
+iterations inside ONE lax.scan'd device program and synchronizes through
+a fetched scalar checksum — on this machine's tunneled TPU backend,
+``block_until_ready`` does not block and per-dispatch host timing is
+meaningless.
 """
 
 from __future__ import annotations
@@ -23,10 +33,31 @@ import time
 
 import numpy as np
 
+# Peak dense-matmul throughput per chip, used for the MFU denominator.
+# TPU v5e (v5 lite): 197 TFLOP/s bf16 (f32 runs through the same MXU via
+# bf16x3 passes; MFU is reported against the bf16 peak either way).
+PEAK_FLOPS = {"tpu v5 lite": 197e12, "tpu v5e": 197e12}
+DEFAULT_PEAK = 197e12
 
-def bench_train(args, jax, jnp) -> int:
-    """Second north-star: full-res WGAN-GP steps/sec on one chip."""
-    from gansynth_tpu.train import create_train_state, make_train_step
+
+def _flops_of(compiled) -> float:
+    """XLA's FLOP count for a compiled program (0.0 when unavailable)."""
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_train(args, jax, jnp) -> dict:
+    """Train-step metrics: steps/s + MFU at the final 128x1024 stage.
+
+    K steps are fused into one lax.scan program (the framework's own
+    superstep); sync is a fetched loss scalar.
+    """
+    from gansynth_tpu.train import create_train_state, make_superstep
     from gansynth_tpu.utils.config import Config, ModelConfig, TrainConfig
 
     config = Config(
@@ -36,75 +67,51 @@ def bench_train(args, jax, jnp) -> int:
     stage = config.model.num_stages - 1
     state = create_train_state(config, seed=0)
     rng = np.random.default_rng(0)
-    wave = jnp.asarray(
+    k = args.train_scan_iters
+    waves = jnp.asarray(
         (0.1 * rng.standard_normal(
-            (args.train_batch, config.audio.audio_length)
+            (k, args.train_batch, config.audio.audio_length)
         )).astype(np.float32)
     )
-    pitch = jnp.asarray(rng.integers(24, 85, args.train_batch), jnp.int32)
-    step = jax.jit(make_train_step(config, stage), donate_argnums=0)
-
-    state, metrics = step(state, wave, pitch, jnp.float32(1.0))  # compile
-    float(metrics["d_loss"])
-    k = 6
-    t0 = time.perf_counter()
-    for _ in range(k):
-        state, metrics = step(state, wave, pitch, jnp.float32(1.0))
-    assert np.isfinite(float(metrics["d_loss"]))  # sync
-    per = (time.perf_counter() - t0) / k
-    print(
-        json.dumps(
-            {
-                "metric": "train_steps_per_sec_128x1024",
-                "value": round(1.0 / per, 3),
-                "unit": f"steps/s (global batch {args.train_batch})",
-                "vs_baseline": round(args.train_batch / per, 2),
-            }
-        )
+    pitches = jnp.asarray(
+        rng.integers(24, 85, (k, args.train_batch)), jnp.int32
     )
-    return 0
+    alphas = jnp.ones(k, jnp.float32)
+    step = jax.jit(make_superstep(config, stage), donate_argnums=0)
+
+    lowered = step.lower(state, waves, pitches, alphas)
+    compiled = lowered.compile()
+    flops_per_step = _flops_of(compiled) / k
+
+    state, metrics = compiled(state, waves, pitches, alphas)  # warmup
+    assert np.isfinite(float(metrics["d_loss"]))  # fetched-scalar sync
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        state, metrics = compiled(state, waves, pitches, alphas)
+        assert np.isfinite(float(metrics["d_loss"]))
+        times.append(time.perf_counter() - t0)
+    per_step = float(np.median(times)) / k
+
+    device_kind = jax.devices()[0].device_kind.lower()
+    peak = PEAK_FLOPS.get(device_kind, DEFAULT_PEAK)
+    mfu = (flops_per_step / per_step) / peak if flops_per_step else None
+    return {
+        "train_steps_per_sec": round(1.0 / per_step, 3),
+        "train_examples_per_sec": round(args.train_batch / per_step, 2),
+        "train_batch": args.train_batch,
+        "train_dtype": args.dtype,
+        "train_flops_per_step": flops_per_step or None,
+        "train_mfu": round(mfu, 4) if mfu is not None else None,
+        "train_peak_flops_assumed": peak,
+    }
 
 
-def main() -> int:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=128,
-                        help="batch 128 is the measured throughput sweet "
-                        "spot on v5e (64: ~5.8k xRT, 128: ~7.9k, 256: ~7.7k)")
-    parser.add_argument("--scan-iters", type=int, default=8,
-                        help="synthesis batches per timed device program")
-    parser.add_argument("--repeats", type=int, default=5)
-    parser.add_argument("--dtype", default="bfloat16",
-                        choices=["float32", "bfloat16"],
-                        help="MXU compute dtype (params/spectral stay f32; "
-                        "tests assert bf16~f32 output agreement)")
-    parser.add_argument("--metric", default="synthesis",
-                        choices=["synthesis", "train"])
-    parser.add_argument("--train-batch", type=int, default=8)
-    args = parser.parse_args()
-
-    import jax
-    import jax.numpy as jnp
-
-    from gansynth_tpu.utils.platform import enable_compile_cache
-
-    enable_compile_cache()
-
+def bench_synthesis(args, jax, jnp, config) -> dict:
     from gansynth_tpu.models import Generator
     from gansynth_tpu.ops.spectral import image_to_wave
     from gansynth_tpu.train.step import pitch_to_onehot
-    from gansynth_tpu.utils.config import AudioConfig, Config, ModelConfig
 
-    # TPU-tuned synthesis: fused Pallas spectrum kernel + matmul iDFT.
-    # (Compiled Pallas requires a TPU; fall back to the XLA lowering when
-    # someone runs the bench on CPU.)
-    kernel = "pallas" if jax.default_backend() != "cpu" else "xla"
-    config = Config(
-        model=ModelConfig(compute_dtype=args.dtype),
-        audio=AudioConfig(synthesis_kernel=kernel),
-    )
-
-    if args.metric == "train":
-        return bench_train(args, jax, jnp)
     m = config.model
     stage = m.num_stages - 1
     g = Generator(m)
@@ -158,16 +165,66 @@ def main() -> int:
     )
     wall = float(np.median(times))
     x_rt = seconds_of_audio / wall
-    print(
-        json.dumps(
-            {
-                "metric": "synthesis_x_realtime_per_chip",
-                "value": round(x_rt, 2),
-                "unit": "x_realtime",
-                "vs_baseline": round(x_rt / 50.0, 3),
-            }
-        )
+    return {
+        "metric": "synthesis_x_realtime_per_chip",
+        "value": round(x_rt, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(x_rt / 50.0, 3),
+    }
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=128,
+                        help="batch 128 is the measured throughput sweet "
+                        "spot on v5e (64: ~5.8k xRT, 128: ~7.9k, 256: ~7.7k)")
+    parser.add_argument("--scan-iters", type=int, default=8,
+                        help="synthesis batches per timed device program")
+    parser.add_argument("--repeats", type=int, default=5)
+    parser.add_argument("--dtype", default="bfloat16",
+                        choices=["float32", "bfloat16"],
+                        help="MXU compute dtype (params/spectral stay f32; "
+                        "tests assert bf16~f32 output agreement)")
+    parser.add_argument("--metric", default="all",
+                        choices=["all", "synthesis", "train"])
+    parser.add_argument("--train-batch", type=int, default=8)
+    parser.add_argument("--train-scan-iters", type=int, default=10,
+                        help="train steps fused per timed device program")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gansynth_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
+
+    from gansynth_tpu.utils.config import AudioConfig, Config, ModelConfig
+
+    # TPU-tuned synthesis: fused Pallas spectrum kernel + matmul iDFT.
+    # (Compiled Pallas requires a TPU; fall back to the XLA lowering when
+    # someone runs the bench on CPU.)
+    kernel = "pallas" if jax.default_backend() != "cpu" else "xla"
+    config = Config(
+        model=ModelConfig(compute_dtype=args.dtype),
+        audio=AudioConfig(synthesis_kernel=kernel),
     )
+
+    record = {}
+    if args.metric in ("all", "synthesis"):
+        record.update(bench_synthesis(args, jax, jnp, config))
+    if args.metric in ("all", "train"):
+        train_record = bench_train(args, jax, jnp)
+        if args.metric == "train":
+            per = 1.0 / train_record["train_steps_per_sec"]
+            record.update({
+                "metric": "train_steps_per_sec_128x1024",
+                "value": train_record["train_steps_per_sec"],
+                "unit": f"steps/s (global batch {args.train_batch})",
+                "vs_baseline": round(args.train_batch / per, 2),
+            })
+        record.update(train_record)
+    print(json.dumps(record))
     return 0
 
 

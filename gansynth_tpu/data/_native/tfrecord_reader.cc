@@ -86,26 +86,44 @@ struct Cursor {
     return true;
   }
 
+  // Advance by n bytes, clamping at end (n may come from a hostile
+  // varint; unchecked `p += n` is pointer-overflow UB and would move the
+  // cursor past the buffer).
+  void advance(uint64_t n) {
+    uint64_t avail = static_cast<uint64_t>(end - p);
+    if (!ok || n > avail) {
+      ok = false;
+      p = end;
+    } else {
+      p += n;
+    }
+  }
+
   void skip(uint32_t wire) {
     switch (wire) {
       case 0: varint(); break;
-      case 1: p += 8; break;
-      case 2: {
-        uint64_t n = varint();
-        p += n;
-        break;
-      }
-      case 5: p += 4; break;
+      case 1: advance(8); break;
+      case 2: advance(varint()); break;
+      case 5: advance(4); break;
       default: ok = false;
     }
-    if (p > end) ok = false;
   }
 
+  // Length-delimited child cursor. The child's end is CLAMPED to the
+  // parent's buffer: a malformed/oversized length varint must never hand
+  // downstream parsing an end pointer past the allocation (out-of-bounds
+  // reads even with valid record CRCs, or whenever verify_crc=0).
   Cursor sub() {
     uint64_t n = varint();
-    Cursor c{p, p + n, ok && p + n <= end};
-    p += n;
-    if (p > end) ok = false;
+    uint64_t avail = static_cast<uint64_t>(end - p);
+    bool fits = ok && n <= avail;
+    Cursor c{p, fits ? p + n : end, fits};
+    if (fits) {
+      p += n;
+    } else {
+      ok = false;
+      p = end;
+    }
     return c;
   }
 };
@@ -122,7 +140,9 @@ struct Reader {
 };
 
 // Parse one Feature message given its name, filling the outputs.
-void parse_feature(Cursor feat, const std::string& name, float* audio,
+// Returns false when the message overran its framing (clamped, not read
+// out of bounds — but the record is malformed and must be reported).
+bool parse_feature(Cursor feat, const std::string& name, float* audio,
                    int audio_cap, int* audio_len, int64_t* pitch,
                    int64_t* source) {
   uint32_t field, wire;
@@ -139,13 +159,16 @@ void parse_feature(Cursor feat, const std::string& name, float* audio,
             std::memcpy(&audio[count], packed.p + 4 * i, 4);
           }
         } else if (f2 == 1 && w2 == 5) {  // unpacked float
-          if (count < audio_cap) std::memcpy(&audio[count++], fl.p, 4);
+          if (count < audio_cap && fl.end - fl.p >= 4) {
+            std::memcpy(&audio[count++], fl.p, 4);
+          }
           fl.skip(w2);
         } else {
           fl.skip(w2);
         }
       }
       *audio_len = count;
+      if (!fl.ok) feat.ok = false;
     } else if (field == 3 && wire == 2 &&
                (name == "pitch" || name == "instrument_source")) {
       Cursor il = feat.sub();  // Int64List
@@ -170,10 +193,12 @@ void parse_feature(Cursor feat, const std::string& name, float* audio,
         if (name == "pitch") *pitch = value;
         else *source = value;
       }
+      if (!il.ok) feat.ok = false;
     } else {
       feat.skip(wire);
     }
   }
+  return feat.ok;
 }
 
 // Parse a serialized tf.train.Example.
@@ -203,16 +228,20 @@ bool parse_example(const uint8_t* data, size_t n, float* audio, int audio_cap,
               entry.skip(we);
             }
           }
+          if (!entry.ok) return false;
           if (have_value &&
               (name == "audio" || name == "pitch" ||
                name == "instrument_source")) {
-            parse_feature(value, name, audio, audio_cap, audio_len, pitch,
-                          source);
+            if (!parse_feature(value, name, audio, audio_cap, audio_len,
+                               pitch, source)) {
+              return false;
+            }
           }
         } else {
           feats.skip(w1);
         }
       }
+      if (!feats.ok) return false;
     } else {
       ex.skip(wire);
     }

@@ -111,9 +111,14 @@ def make_native_iterator(
     seed: int = 0,
     num_shards: int = 1,
     shard_index: int = 0,
+    skip_batches: int = 0,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """TensorFlow-free D1–D3 pipeline: yields (wave [B, T] f32, pitch [B]
-    i32) batches with the same filtering contract as the tf.data path."""
+    i32) batches with the same filtering contract as the tf.data path.
+
+    ``skip_batches`` replays the (seed-deterministic) stream past that
+    many batches before yielding — the data-iterator resume contract
+    (SURVEY.md §5): position state == batch count."""
     batch_size = batch_size or config.train.batch_size
     audio_len = config.audio.audio_length
     lo, hi = config.model.pitch_min, config.model.pitch_max
@@ -168,8 +173,14 @@ def make_native_iterator(
         waves.append(item[0])
         pitches.append(item[1])
         if len(waves) == batch_size:
-            yield (
-                np.stack(waves).astype(np.float32),
-                np.asarray(pitches, np.int32),
-            )
+            if skip_batches > 0:
+                # Replay without materializing: the shuffle RNG and buffer
+                # march through the identical state, the numpy stacking of
+                # skipped batches is elided.
+                skip_batches -= 1
+            else:
+                yield (
+                    np.stack(waves).astype(np.float32),
+                    np.asarray(pitches, np.int32),
+                )
             waves, pitches = [], []

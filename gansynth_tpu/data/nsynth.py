@@ -46,6 +46,7 @@ def _make_tf_dataset(
     seed: int = 0,
     num_shards: int = 1,
     shard_index: int = 0,
+    skip_batches: int = 0,
 ):
     import tensorflow as tf
 
@@ -79,6 +80,13 @@ def _make_tf_dataset(
     if repeat:
         ds = ds.repeat()
     ds = ds.batch(batch_size, drop_remainder=True)
+    if skip_batches:
+        # Data-iterator resume (SURVEY.md §5 checkpoint row): the pipeline
+        # is deterministic in `seed`, so position state == batch count;
+        # skipping replays the stream to exactly where a checkpointed run
+        # stopped (the skip runs in tf.data's C++ threadpool, no numpy
+        # conversion of the skipped batches).
+        ds = ds.skip(skip_batches)
     return ds.prefetch(tf.data.AUTOTUNE)
 
 
@@ -94,8 +102,12 @@ def make_nsynth_iterator(
     seed: int = 0,
     num_shards: int = 1,
     shard_index: int = 0,
+    skip_batches: int = 0,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Yields numpy (wave [B, 64000] f32, pitch [B] i32) batches."""
+    """Yields numpy (wave [B, 64000] f32, pitch [B] i32) batches.
+
+    ``skip_batches`` positions the (seed-deterministic) stream past that
+    many batches — the data-iterator resume contract (SURVEY.md §5)."""
     ds = _make_tf_dataset(
         files,
         config,
@@ -107,6 +119,7 @@ def make_nsynth_iterator(
         seed=seed,
         num_shards=num_shards,
         shard_index=shard_index,
+        skip_batches=skip_batches,
     )
     for wave, pitch in ds.as_numpy_iterator():
         yield wave, pitch

@@ -117,7 +117,8 @@ class Discriminator(nn.Module):
                 _ = from_rgb[i](jnp.zeros((1, 1, 1, cfg.num_channels), x.dtype))
 
         # Base block at (2 x 16): minibatch stddev, conv, flatten, dense.
-        x = minibatch_stddev(x, cfg.mbstd_group_size, cfg.mbstd_eps)
+        x = minibatch_stddev(x, cfg.mbstd_group_size, cfg.mbstd_eps,
+                             cfg.mbstd_replicas)
         x = leaky_relu(
             EqualizedConv(cfg.stage_channels(0), compute_dtype=cfg.compute_dtype,
                           name="final_conv")(x),

@@ -167,16 +167,9 @@ def pixel_norm(x: jax.Array, eps: float = 1e-8) -> jax.Array:
     return (x32 * scale).astype(x.dtype)
 
 
-def minibatch_stddev(
-    x: jax.Array, group_size: int = 4, eps: float = 1e-8
-) -> jax.Array:
-    """N3: append one feature map of batch-group stddev statistics.
-
-    Splits the batch into groups of ``group_size`` (whole batch if it does
-    not divide), computes the per-group stddev of every feature, averages
-    it into one scalar per group, and tiles it as an extra channel.
-    [B, H, W, C] -> [B, H, W, C+1].
-    """
+def _mbstd_stat(x: jax.Array, group_size: int, eps: float) -> jax.Array:
+    """The stddev feature map for one batch chunk: [B, H, W, C] ->
+    [B, H, W, 1] (the channel appended by :func:`minibatch_stddev`)."""
     b, h, w, c = x.shape
     g = group_size if (group_size and b % group_size == 0) else b
     y = x.astype(jnp.float32).reshape(g, b // g, h, w, c)
@@ -184,7 +177,45 @@ def minibatch_stddev(
     stat = jnp.mean(jnp.sqrt(var + eps), axis=(1, 2, 3), keepdims=True)  # [b/g,1,1,1]
     # Sample g_idx*(b/g) + m carries stat[m]; tiling repeats the stats in
     # exactly that order.
-    stat = jnp.tile(stat, (g, h, w, 1))  # [B, H, W, 1]
+    return jnp.tile(stat, (g, h, w, 1))  # [B, H, W, 1]
+
+
+def minibatch_stddev(
+    x: jax.Array,
+    group_size: int = 4,
+    eps: float = 1e-8,
+    num_replicas: int = 1,
+) -> jax.Array:
+    """N3: append one feature map of batch-group stddev statistics.
+
+    Splits the batch into groups of ``group_size`` (whole batch if it does
+    not divide), computes the per-group stddev of every feature, averages
+    it into one scalar per group, and tiles it as an extra channel.
+    [B, H, W, C] -> [B, H, W, C+1].
+
+    ``num_replicas > 1`` selects PER-REPLICA semantics (SURVEY.md §2.7's
+    reference-faithful option: the single-device reference computes stats
+    over its local batch only): the batch is split into ``num_replicas``
+    contiguous chunks — the per-device shards under the loop's
+    batch-sharded layout — and groups never cross chunk boundaries. Under
+    GSPMD this reduction is shard-local, so it also removes the
+    cross-replica collective that global-batch stats need.
+    """
+    b = x.shape[0]
+    if num_replicas > b:
+        # Sub-replica batches only occur off the training path (parameter
+        # init traces with batch 1); fall back to whole-batch stats there.
+        num_replicas = 1
+    if num_replicas <= 1:
+        stat = _mbstd_stat(x, group_size, eps)
+    else:
+        if b % num_replicas:
+            raise ValueError(
+                f"batch {b} must divide num_replicas {num_replicas}"
+            )
+        chunks = x.reshape((num_replicas, b // num_replicas) + x.shape[1:])
+        stat = jax.vmap(lambda c: _mbstd_stat(c, group_size, eps))(chunks)
+        stat = stat.reshape((b,) + stat.shape[2:])
     return jnp.concatenate([x, stat.astype(x.dtype)], axis=-1)
 
 

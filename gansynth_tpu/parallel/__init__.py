@@ -3,6 +3,7 @@ from gansynth_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
     chunk_sharding,
     replicated_sharding,
+    replicate_on_mesh,
     shard_train_inputs,
     shard_host_local_batch,
     shard_host_local_chunk,

@@ -86,6 +86,32 @@ def initialize_multihost(
     )
 
 
+def replicate_on_mesh(mesh: Mesh, tree):
+    """Place a pytree fully replicated on ``mesh``, multi-process-safe.
+
+    Single-process: a plain ``device_put``. Multi-process: a global mesh
+    contains non-addressable devices, which ``device_put`` rejects — each
+    process instead contributes its (identical) full value per leaf via
+    ``make_array_from_process_local_data``. Typed PRNG keys round-trip
+    through their raw key data (the assembly API moves plain arrays).
+    """
+    import numpy as np
+
+    rep = replicated_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, rep)
+
+    def put(leaf):
+        is_key = jax.dtypes.issubdtype(
+            getattr(leaf, "dtype", None), jax.dtypes.prng_key
+        )
+        data = jax.random.key_data(leaf) if is_key else leaf
+        out = jax.make_array_from_process_local_data(rep, np.asarray(data))
+        return jax.random.wrap_key_data(out) if is_key else out
+
+    return jax.tree.map(put, tree)
+
+
 def shard_host_local_batch(mesh: Mesh, wave, pitch):
     """Assemble a GLOBAL batch from per-process host-local shards.
 

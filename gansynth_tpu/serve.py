@@ -9,10 +9,12 @@ any dependency beyond the stdlib:
   base64 WAV + metadata.
 - ``GET /healthz`` → liveness + model info.
 
-The sampler is compiled once at startup for a fixed serving batch size
-(requests are padded up to it, XLA-static shapes), so request latency is
-pure device execution + WAV encoding. Single-threaded by design: one TPU,
-one compiled program, requests serialize.
+The sampler is compiled at startup for a LADDER of batch sizes (1, 4, ...,
+max_batch; XLA-static shapes) and each request is padded only up to the
+smallest rung that fits, so a 1-note request executes the 1-note program
+instead of paying the full max_batch synthesis. Warm per-rung latency is
+measured at startup and exposed on /healthz. Single-threaded by design:
+one TPU, one compiled program at a time, requests serialize.
 """
 
 from __future__ import annotations
@@ -21,6 +23,7 @@ import base64
 import io
 import json
 import threading
+import time
 import wave as wavmod
 from http.server import BaseHTTPRequestHandler, HTTPServer
 from typing import Optional
@@ -50,25 +53,47 @@ class SynthesisService:
         self._sampler = Sampler(config, params, stage=stage)
         self._lock = threading.Lock()
         self._jax = jax
-        # Warm/compile for the serving batch size.
-        self._sampler(jax.random.key(0), [60] * max_batch)
+        # Batch-size ladder: geometric rungs up to max_batch. jax.jit
+        # specializes per shape, so warming each rung compiles its own
+        # program once; requests then pad only to the smallest fitting
+        # rung instead of always paying max_batch.
+        ladder = []
+        b = 1
+        while b < max_batch:
+            ladder.append(b)
+            b *= 4
+        self.batch_ladder = tuple(ladder) + (max_batch,)
+        self.warm_latency_s = {}
+        for b in self.batch_ladder:
+            self._run(0, [60] * b)          # compile
+            t0 = time.perf_counter()
+            self._run(0, [60] * b)          # warm (host-observed E2E)
+            self.warm_latency_s[b] = round(time.perf_counter() - t0, 4)
+
+    def _run(self, seed: int, padded) -> np.ndarray:
+        with self._lock:
+            waves, _ = self._sampler(self._jax.random.key(seed), padded)
+        # np.asarray forces the device->host fetch: honest request latency.
+        return np.asarray(waves)
+
+    def rung_for(self, n: int) -> int:
+        """Smallest compiled batch that fits an n-note request."""
+        for b in self.batch_ladder:
+            if n <= b:
+                return b
+        raise ValueError(f"at most {self.max_batch} pitches per request")
 
     def synthesize(self, pitches, seed: int = 0) -> np.ndarray:
-        """[len(pitches), 64000] float32; pads to the compiled batch."""
+        """[len(pitches), 64000] float32; pads to the smallest rung."""
         if not pitches:
             raise ValueError("pitches must be non-empty")
-        if len(pitches) > self.max_batch:
-            raise ValueError(
-                f"at most {self.max_batch} pitches per request"
-            )
+        rung = self.rung_for(len(pitches))
         lo, hi = self.config.model.pitch_min, self.config.model.pitch_max
         for p in pitches:
             if not lo <= int(p) <= hi:
                 raise ValueError(f"pitch {p} outside [{lo}, {hi}]")
-        padded = list(pitches) + [lo] * (self.max_batch - len(pitches))
-        with self._lock:
-            waves, _ = self._sampler(self._jax.random.key(seed), padded)
-        return np.asarray(waves)[: len(pitches)]
+        padded = list(pitches) + [lo] * (rung - len(pitches))
+        return self._run(seed, padded)[: len(pitches)]
 
     def wav_bytes(self, waves: np.ndarray) -> bytes:
         buf = io.BytesIO()
@@ -105,6 +130,10 @@ def make_server(service: SynthesisService, host: str = "127.0.0.1",
                 self._json(200, {
                     "status": "ok",
                     "max_batch": service.max_batch,
+                    "batch_ladder": list(service.batch_ladder),
+                    "warm_latency_s": {
+                        str(k): v for k, v in service.warm_latency_s.items()
+                    },
                     "num_pitches": m.num_pitches,
                     "sample_rate": service.config.audio.sample_rate,
                 })

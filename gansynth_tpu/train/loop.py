@@ -31,7 +31,7 @@ from gansynth_tpu.parallel.sharding import (
     jit_superstep_for_mesh,
     jit_train_step_for_mesh,
     make_mesh,
-    replicated_sharding,
+    replicate_on_mesh,
     shard_host_local_chunk,
     shard_train_inputs,
 )
@@ -89,12 +89,23 @@ def train(
     checkpointer: Optional[object] = None,
     on_metrics: Optional[Callable[[int, int, Dict], None]] = None,
     device_dataset: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    data_position: int = 0,
 ) -> TrainState:
     """Run (or resume) training; returns the final state.
 
     data_iter yields (wave [B, 64000] f32, pitch [B] int) numpy batches;
     it may be None when ``device_dataset`` (all_waves [N, T], all_pitches
     [N]) supplies an HBM-resident dataset instead.
+
+    Data-iterator resume (SURVEY.md §5): the stream position IS the global
+    step (one batch per step), so on resume the loop fast-forwards
+    ``data_iter`` by ``restored_step - data_position`` batches —
+    ``data_position`` declares how far the caller already advanced it
+    (e.g. via ``make_nsynth_iterator(skip_batches=...)``, which skips in
+    tf.data's C++ threadpool; or pass ``data_position=int(state.step)``
+    for an in-process continuation of a live iterator). The
+    ``device_dataset`` path needs none of this — its batch sampling is a
+    pure function of (rng, step).
     """
     schedule = schedule_from_config(config)
     unroll = max(1, int(config.train.unroll))
@@ -126,8 +137,17 @@ def train(
         num_examples = int(all_waves.shape[0])
     elif data_iter is None:
         raise ValueError("pass data_iter or device_dataset")
+    if data_iter is not None:
+        behind = int(state.step) - data_position
+        if behind < 0:
+            raise ValueError(
+                f"data_position {data_position} is ahead of the restored "
+                f"step {int(state.step)}"
+            )
+        for _ in range(behind):
+            next(data_iter)
     if mesh is not None:
-        state = jax.device_put(state, replicated_sharding(mesh))
+        state = replicate_on_mesh(mesh, state)
         if unroll == 1:
             # Double-buffered sharded infeed: keep batches transferred
             # ahead of the step so host decode overlaps device compute

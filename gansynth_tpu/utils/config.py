@@ -103,6 +103,14 @@ class ModelConfig:
     pixelnorm_eps: float = 1e-8
     mbstd_eps: float = 1e-8
     mbstd_group_size: int = 4       # stddev computed over groups of this size
+    # Minibatch-stddev batch semantics under data parallelism (SURVEY.md
+    # §2.7 decision point). 1 = GLOBAL-batch stats (default: DP step is
+    # numerically identical to a single-device step on the same global
+    # batch). >1 = PER-REPLICA stats over that many contiguous batch
+    # chunks (the reference-faithful option — a single-device reference
+    # only ever sees its local batch; also shard-local, no collective).
+    # The CLI's --mbstd per-replica sets this to the device count.
+    mbstd_replicas: int = 1
     generator_output: str = "tanh"  # [K-med] bounded output for the GAN image
     # MXU compute dtype for convs/denses: "float32" (parity default) or
     # "bfloat16" (TPU fast path — params, accumulation, normalization and

@@ -1,0 +1,104 @@
+"""Worker process for tests/test_multiprocess.py (not a test module).
+
+Runs ONE process of a 2-process JAX CPU "pod": initializes
+jax.distributed, builds the global data mesh, and drives the REAL
+multi-host code path — per-process local batches assembled into global
+arrays by ``shard_host_local_batch`` inside ``prefetch_to_mesh``'s
+``process_count() > 1`` branch, stepped by the DP-jitted train step via
+``train(..., use_mesh=True)``.
+
+Usage: python multiprocess_worker.py <pid> <nprocs> <port> <outfile>
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> int:
+    pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    outfile = sys.argv[4]
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    os.environ.setdefault("JAX_THREEFRY_PARTITIONABLE", "1")
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from gansynth_tpu.parallel import initialize_multihost
+
+    initialize_multihost(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nprocs,
+        process_id=pid,
+    )
+    assert jax.process_count() == nprocs, jax.process_count()
+    n_global = len(jax.devices())
+    assert n_global == 2 * nprocs, n_global
+
+    import numpy as np
+
+    from gansynth_tpu.train import create_train_state
+    from gansynth_tpu.train.loop import train
+    from gansynth_tpu.utils.config import Config, ModelConfig, TrainConfig
+
+    config = Config(
+        model=ModelConfig(latent_dim=8, fmap_base=64, fmap_max=16, fmap_min=8),
+        train=TrainConfig(batch_size=2 * nprocs, log_every=0,
+                          checkpoint_every=0),
+    )
+
+    # Every process derives the same GLOBAL batch stream from the seed and
+    # feeds only its local slice — the per-host ingest contract
+    # (make_nsynth_iterator(..., num_shards=process_count())) in miniature,
+    # but bit-deterministic for the equivalence assertion.
+    def local_batches():
+        rng = np.random.default_rng(123)
+        t = np.arange(config.audio.audio_length) / config.audio.sample_rate
+        while True:
+            freqs = rng.uniform(110, 1500, config.train.batch_size)
+            waves = np.sin(2 * np.pi * freqs[:, None] * t).astype(np.float32)
+            pitch = rng.integers(24, 85, config.train.batch_size).astype(
+                np.int32
+            )
+            lo, hi = pid * 2, (pid + 1) * 2
+            yield waves[lo:hi], pitch[lo:hi]
+
+    metrics_log = []
+    state = train(
+        config,
+        local_batches(),
+        num_steps=2,
+        state=create_train_state(config, seed=0),
+        use_mesh=True,
+        on_metrics=lambda step, stage, m: metrics_log.append(
+            {k: float(np.asarray(v)) for k, v in m.items()}
+        ),
+    )
+    checksum = float(
+        sum(
+            float(abs(np.asarray(leaf)).sum())
+            for leaf in jax.tree.leaves(state.g_params)
+        )
+    )
+    with open(outfile, "w") as f:
+        json.dump(
+            {
+                "process_count": jax.process_count(),
+                "num_devices": n_global,
+                "step": int(state.step),
+                "metrics": metrics_log,
+                "g_param_checksum": checksum,
+            },
+            f,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -89,6 +89,45 @@ class TestIngest:
         # positions are recoverable from the pitch sequence)
         assert not np.array_equal(seen[0][: seen[1].size], seen[1])
 
+    def test_skip_batches_replays_stream(self, tfrecord):
+        """Position state == batch count: a fresh iterator skipped by N
+        continues exactly where an unskipped one is after N batches (the
+        data-iterator resume contract, tf.data path)."""
+        full = make_nsynth_iterator(
+            [tfrecord], CFG, batch_size=4, shuffle=True, repeat=True, seed=5
+        )
+        head = [next(full) for _ in range(3)]
+        tail = [next(full) for _ in range(3)]
+        skipped = make_nsynth_iterator(
+            [tfrecord], CFG, batch_size=4, shuffle=True, repeat=True, seed=5,
+            skip_batches=3,
+        )
+        for want_w, want_p in tail:
+            got_w, got_p = next(skipped)
+            np.testing.assert_array_equal(got_w, want_w)
+            np.testing.assert_array_equal(got_p, want_p)
+        # and the skipped stream is NOT the head
+        assert not np.array_equal(head[0][0], tail[0][0])
+
+    def test_skip_batches_replays_stream_native(self, tfrecord):
+        from gansynth_tpu.data.native_tfrecord import make_native_iterator
+
+        full = make_native_iterator(
+            [tfrecord], CFG, batch_size=4, shuffle=True, repeat=True, seed=5,
+            shuffle_buffer=8,
+        )
+        for _ in range(3):
+            next(full)
+        tail = [next(full) for _ in range(3)]
+        skipped = make_native_iterator(
+            [tfrecord], CFG, batch_size=4, shuffle=True, repeat=True, seed=5,
+            shuffle_buffer=8, skip_batches=3,
+        )
+        for want_w, want_p in tail:
+            got_w, got_p = next(skipped)
+            np.testing.assert_array_equal(got_w, want_w)
+            np.testing.assert_array_equal(got_p, want_p)
+
     def test_prefetch_to_mesh(self, tfrecord):
         mesh = make_mesh()
         it = make_nsynth_iterator(

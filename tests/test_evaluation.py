@@ -25,6 +25,18 @@ class TestPitchDetection:
         detected = detect_midi_pitch(wave)
         assert abs(detected - midi) < 0.5, (midi, detected)
 
+    @pytest.mark.parametrize("midi", [24, 37, 55, 84])
+    def test_detects_diversified_fixture_notes(self, midi):
+        """The fidelity metric must hold across the full conditioning range
+        and the fixture writer's timbre-diversity envelope (harmonics 2-6,
+        decay 0.8-2.2) — otherwise training-eval numbers are detector
+        noise."""
+        for nh, dec, seed in [(2, 0.9, 1), (5, 2.1, 2), (6, 1.4, 3)]:
+            wave = synthesize_note(midi, num_harmonics=nh, decay=dec,
+                                   seed=seed)
+            detected = detect_midi_pitch(wave)
+            assert abs(detected - midi) < 0.5, (midi, nh, dec, detected)
+
     def test_pitch_accuracy_batch(self):
         pitches = [40, 52, 64, 76]
         waves = np.stack([synthesize_note(p) for p in pitches])
@@ -82,3 +94,51 @@ class TestEvaluateSampler:
         assert m["num_samples"] == 6.0
         assert m["pitch_accuracy"] == 1.0
         assert m["rms"] > 0.01
+
+    def test_harness_reports_lsd_against_reference(self):
+        """With a pitch-matched reference the harness adds the
+        log-spectral-distance readout; an oracle sampler (the roundtrip
+        itself) must score below an unconditioned mismatch."""
+        from gansynth_tpu.evaluation import fixture_reference_fn
+
+        cfg = AudioConfig()
+
+        def oracle_sampler(key, pitches):
+            waves = np.stack([synthesize_note(int(p)) for p in pitches])
+            img = wave_to_image(jnp.asarray(waves), cfg)
+            return jnp.asarray(image_to_wave(img, cfg)), img
+
+        def noise_sampler(key, pitches):
+            rng = np.random.default_rng(0)
+            waves = 0.1 * rng.standard_normal((len(pitches), 64000))
+            return jnp.asarray(waves.astype(np.float32)), None
+
+        ref = fixture_reference_fn()
+        m_good = evaluate_sampler(
+            oracle_sampler, pitches=[40, 60], samples_per_pitch=1,
+            reference_fn=ref,
+        )
+        m_bad = evaluate_sampler(
+            noise_sampler, pitches=[40, 60], samples_per_pitch=1,
+            reference_fn=ref,
+        )
+        assert np.isfinite(m_good["log_spectral_distance"])
+        assert (
+            m_good["log_spectral_distance"] < m_bad["log_spectral_distance"]
+        )
+
+    def test_tfrecord_reference_fn(self, tmp_path):
+        pytest.importorskip("tensorflow")
+        from gansynth_tpu.data import write_synthetic_tfrecords
+        from gansynth_tpu.evaluation import tfrecord_reference_fn
+        from gansynth_tpu.utils.config import Config
+
+        path = str(tmp_path / "ref.tfrecord")
+        write_synthetic_tfrecords(path, num_examples=8,
+                                  pitches=[50, 62], seed=0)
+        ref = tfrecord_reference_fn([path], Config())
+        w = ref(50, 0)
+        assert w.shape == (64000,) and np.isfinite(w).all()
+        assert abs(detect_midi_pitch(w) - 50) < 0.5
+        with pytest.raises(KeyError):
+            ref(24, 0)

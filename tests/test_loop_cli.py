@@ -65,6 +65,48 @@ class TestLoop:
         state = train(TINY, data_iter(tfrecord), num_steps=2, workdir=workdir)
         assert int(state.step) == 6
 
+    def test_resume_replays_data_stream(self, tfrecord, tmp_path):
+        """SURVEY.md §5 checkpoint row (data-iterator state): a resumed
+        run must see the SAME batch stream as the uninterrupted run — not
+        the stream head. The loop fast-forwards a fresh iterator to the
+        restored step (position == batch count == step)."""
+        losses_full = []
+        train(
+            TINY, data_iter(tfrecord), num_steps=6,
+            workdir=str(tmp_path / "full"),
+            on_metrics=lambda s, st, m: losses_full.append(
+                float(np.asarray(m["d_loss"]))
+            ),
+        )
+
+        workdir = str(tmp_path / "interrupted")
+        train(TINY, data_iter(tfrecord), num_steps=3, workdir=workdir)
+        losses_resumed = []
+        train(
+            TINY, data_iter(tfrecord), num_steps=3, workdir=workdir,
+            on_metrics=lambda s, st, m: losses_resumed.append(
+                float(np.asarray(m["d_loss"]))
+            ),
+        )
+        np.testing.assert_allclose(
+            losses_resumed, losses_full[3:], rtol=1e-6,
+            err_msg="resumed stream != uninterrupted stream",
+        )
+
+        # ... and the stream-head replay (the pre-fix behavior, simulated
+        # by claiming the fresh iterator is already positioned) diverges.
+        workdir2 = str(tmp_path / "head")
+        train(TINY, data_iter(tfrecord), num_steps=3, workdir=workdir2)
+        losses_head = []
+        train(
+            TINY, data_iter(tfrecord), num_steps=3, workdir=workdir2,
+            data_position=3,
+            on_metrics=lambda s, st, m: losses_head.append(
+                float(np.asarray(m["d_loss"]))
+            ),
+        )
+        assert not np.allclose(losses_head, losses_full[3:], rtol=1e-6)
+
     def test_loop_dumps_audio_samples(self, tfrecord, tmp_path):
         import dataclasses
 

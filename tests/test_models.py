@@ -62,6 +62,41 @@ class TestLayers:
         # whole-batch fallback: one shared stat
         np.testing.assert_allclose(y[..., -1], y[0, 0, 0, -1], rtol=1e-5)
 
+    def test_minibatch_stddev_per_replica_differs_from_global(self, rng):
+        """SURVEY.md §2.7: per-replica stats are computed within contiguous
+        replica chunks; on a non-degenerate batch they must differ from
+        global-batch stats whose groups span replicas."""
+        x = jnp.asarray(rng.standard_normal((8, 2, 2, 3)).astype(np.float32))
+        y_global = np.asarray(minibatch_stddev(x, group_size=4))
+        y_rep = np.asarray(minibatch_stddev(x, group_size=4, num_replicas=2))
+        assert y_rep.shape == y_global.shape == (8, 2, 2, 4)
+        assert np.abs(y_rep[..., -1] - y_global[..., -1]).max() > 1e-4
+        # content channels untouched either way
+        np.testing.assert_array_equal(y_rep[..., :3], np.asarray(x))
+
+    def test_minibatch_stddev_per_replica_matches_manual(self, rng):
+        """Per-replica == running the single-device op independently on
+        each contiguous chunk (exactly what N separate devices compute)."""
+        x = jnp.asarray(rng.standard_normal((8, 2, 2, 3)).astype(np.float32))
+        y = np.asarray(minibatch_stddev(x, group_size=2, num_replicas=2))
+        manual = np.concatenate(
+            [
+                np.asarray(minibatch_stddev(x[:4], group_size=2)),
+                np.asarray(minibatch_stddev(x[4:], group_size=2)),
+            ]
+        )
+        np.testing.assert_allclose(y, manual, rtol=1e-6)
+
+    def test_minibatch_stddev_per_replica_indivisible_raises(self, rng):
+        x = jnp.asarray(rng.standard_normal((6, 2, 2, 3)).astype(np.float32))
+        with np.testing.assert_raises(ValueError):
+            minibatch_stddev(x, group_size=2, num_replicas=4)
+        # ... but sub-replica batches (param-init tracing at batch 1) fall
+        # back to whole-batch stats instead of failing init.
+        one = jnp.asarray(rng.standard_normal((1, 2, 2, 3)).astype(np.float32))
+        y = minibatch_stddev(one, group_size=2, num_replicas=8)
+        assert y.shape == (1, 2, 2, 4)
+
 
 class TestGenerator:
     @pytest.mark.parametrize("stage", [0, 2, CFG.num_stages - 1])

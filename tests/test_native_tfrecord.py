@@ -62,6 +62,51 @@ class TestRawReader:
         with pytest.raises(FileNotFoundError):
             list(read_examples("/nonexistent/x.tfrecord"))
 
+    @staticmethod
+    def _frame_record(payload: bytes) -> bytes:
+        """TFRecord framing with garbage CRCs (read with verify_crc=False)."""
+        import struct
+
+        return (
+            struct.pack("<Q", len(payload)) + b"\x00\x00\x00\x00"
+            + payload + b"\x00\x00\x00\x00"
+        )
+
+    @staticmethod
+    def _ld(field: int, payload: bytes) -> bytes:
+        """Length-delimited protobuf field."""
+        out = bytes([(field << 3) | 2])
+        n = len(payload)
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out += bytes([b | (0x80 if n else 0)])
+            if not n:
+                return out + payload
+
+    def test_oversized_length_varint_is_error_not_oob(self, tmp_path):
+        """A sub-message length varint pointing past the buffer must fail
+        parsing cleanly (the cursor clamps; no out-of-bounds read) — the
+        exact shape reachable with valid CRCs or verify_crc=0."""
+        # Example.features(1) claims a huge length with few bytes behind it.
+        evil = bytes([0x0A, 0xFF, 0xFF, 0xFF, 0xFF, 0x7F]) + b"\x00" * 8
+        path = tmp_path / "evil.tfrecord"
+        path.write_bytes(self._frame_record(evil))
+        with pytest.raises(NativeTFRecordError, match="malformed"):
+            list(read_examples(str(path), verify_crc=False))
+
+    def test_oversized_packed_floats_is_error_not_oob(self, tmp_path):
+        """Same attack one level deeper: the packed-floats list inside
+        features.audio overruns its framing."""
+        floatlist = bytes([0x0A, 0xFF, 0xFF, 0xFF, 0x7F]) + b"\x00" * 8
+        feature = self._ld(2, floatlist)            # Feature.float_list
+        entry = self._ld(1, b"audio") + self._ld(2, feature)
+        example = self._ld(1, self._ld(1, entry))   # Example.features.map
+        path = tmp_path / "evil2.tfrecord"
+        path.write_bytes(self._frame_record(example))
+        with pytest.raises(NativeTFRecordError, match="malformed"):
+            list(read_examples(str(path), verify_crc=False))
+
 
 class TestNativePipeline:
     def test_matches_tf_pipeline_unshuffled(self, tfrecord):

@@ -90,6 +90,43 @@ def test_dp_two_meshes_agree(batch):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
 
 
+def test_per_replica_mbstd_shards_and_differs(batch):
+    """--mbstd per-replica under the 8-device mesh: runs, stays
+    DP==single-device for ITS OWN semantics (per-replica stats are a pure
+    function of the global batch), and differs from global-batch stats."""
+    import dataclasses
+
+    waves, pitch = batch
+    cfg_rep = dataclasses.replace(
+        CFG, model=dataclasses.replace(CFG.model, mbstd_replicas=8)
+    )
+    mesh = make_mesh()
+
+    # sharded per-replica step
+    dp = jit_train_step_for_mesh(make_train_step(cfg_rep, STAGE), mesh)
+    st, w, p = shard_train_inputs(
+        mesh, create_train_state(cfg_rep, seed=0), waves, pitch
+    )
+    s_rep, m_rep = dp(st, w, p, jnp.float32(0.7))
+
+    # single-device run of the same per-replica semantics
+    single = jax.jit(make_train_step(cfg_rep, STAGE))
+    s_one, m_one = single(
+        create_train_state(cfg_rep, seed=0), waves, pitch, jnp.float32(0.7)
+    )
+    for k in m_one:
+        np.testing.assert_allclose(
+            np.asarray(m_one[k]), np.asarray(m_rep[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"metric {k}",
+        )
+
+    # and it is a genuinely different estimator than global-batch stats
+    m_glob = jax.jit(make_train_step(CFG, STAGE))(
+        create_train_state(CFG, seed=0), waves, pitch, jnp.float32(0.7)
+    )[1]
+    assert float(m_glob["d_loss"]) != float(m_one["d_loss"])
+
+
 def test_indivisible_batch_rejected(batch):
     waves, pitch = batch
     mesh = make_mesh()

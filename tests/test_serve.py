@@ -47,6 +47,26 @@ def test_healthz(server):
     assert info["status"] == "ok"
     assert info["num_pitches"] == 61
     assert info["max_batch"] == 4
+    # batch ladder + measured warm latencies are advertised
+    assert info["batch_ladder"] == [1, 4]
+    assert set(info["warm_latency_s"]) == {"1", "4"}
+    assert all(v > 0 for v in info["warm_latency_s"].values())
+
+
+def test_batch_ladder_rung_selection():
+    state = create_train_state(CFG, seed=0)
+    service = SynthesisService(CFG, state.ema_params, stage=1, max_batch=16)
+    assert service.batch_ladder == (1, 4, 16)
+    assert service.rung_for(1) == 1
+    assert service.rung_for(2) == 4
+    assert service.rung_for(4) == 4
+    assert service.rung_for(5) == 16
+    assert service.rung_for(16) == 16
+    with pytest.raises(ValueError):
+        service.rung_for(17)
+    # a 1-note request really runs the 1-note program (output still valid)
+    w = service.synthesize([60], seed=3)
+    assert w.shape == (1, 64000) and np.isfinite(w).all()
 
 
 def test_synthesize_wav(server):
