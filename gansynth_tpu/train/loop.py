@@ -243,6 +243,15 @@ def train(
             or new_step == end
         ):
             checkpointer.save(new_step, state)
+            if workdir is not None:
+                # Durable compact artifact alongside the full checkpoint:
+                # the EMA generator alone (all that generate/evaluate/serve
+                # need), small enough to archive with the run.
+                from gansynth_tpu.utils.checkpoint import save_ema_npz
+
+                save_ema_npz(
+                    f"{workdir}/ema.npz", state.ema_params, new_step
+                )
         if (
             workdir is not None
             and config.train.sample_every

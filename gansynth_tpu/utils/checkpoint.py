@@ -32,6 +32,51 @@ def _wrap_keys(state: TrainState) -> TrainState:
     return state.replace(rng=jax.random.wrap_key_data(state.rng))
 
 
+def save_ema_npz(path: str, ema_params, step: int) -> str:
+    """Export the EMA generator alone as one ``.npz`` (compact, durable).
+
+    A full TrainState checkpoint carries both optimizers and both networks
+    (~7x the generator's size); sampling/evaluation (SURVEY.md §3.2, C3)
+    need only the EMA params, so this is the artifact worth archiving with
+    a finished run. Keys are '/'-joined pytree paths; the checkpoint step
+    rides along as ``__step__``.
+    """
+    import numpy as np
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(ema_params)
+    arrays = {
+        jax.tree_util.keystr(kp): np.asarray(leaf) for kp, leaf in flat
+    }
+    arrays["__step__"] = np.asarray(step, np.int64)
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **arrays)
+    return path
+
+
+def load_ema_npz(path: str, template) -> Tuple[object, int]:
+    """Inverse of :func:`save_ema_npz`: rebuild the EMA param pytree in the
+    structure of ``template`` (e.g. ``create_train_state(cfg).ema_params``).
+    Returns ``(ema_params, step)``."""
+    import numpy as np
+
+    with np.load(path) as data:
+        step = int(data["__step__"])
+        flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+        leaves = []
+        for kp, leaf in flat:
+            key = jax.tree_util.keystr(kp)
+            if key not in data:
+                raise KeyError(f"{path} is missing param {key!r}")
+            arr = data[key]
+            if arr.shape != leaf.shape:
+                raise ValueError(
+                    f"{key!r}: checkpoint shape {arr.shape} != template "
+                    f"shape {leaf.shape} (config mismatch?)"
+                )
+            leaves.append(jax.numpy.asarray(arr, leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves), step
+
+
 class Checkpointer:
     """Thin orbax CheckpointManager wrapper for TrainState."""
 

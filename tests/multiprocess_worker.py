@@ -14,6 +14,10 @@ import json
 import os
 import sys
 
+# Spawned bare (not under pytest): the repo root is not implicitly on
+# sys.path, only this script's directory is.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> int:
     pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])

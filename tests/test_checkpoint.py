@@ -70,6 +70,66 @@ def test_latest_step_and_missing(tmp_path):
         ckpt.restore(create_train_state(CFG, seed=0))
 
 
+def test_ema_npz_roundtrip(tmp_path):
+    """Compact EMA export == in-memory EMA params; step rides along."""
+    from gansynth_tpu.utils.checkpoint import load_ema_npz, save_ema_npz
+
+    state = create_train_state(CFG, seed=0)
+    path = str(tmp_path / "ema.npz")
+    save_ema_npz(path, state.ema_params, 1234)
+    template = create_train_state(CFG, seed=7).ema_params
+    loaded, step = load_ema_npz(path, template)
+    assert step == 1234
+    assert_states_equal(state.ema_params, loaded)
+
+
+def test_ema_npz_shape_mismatch_rejected(tmp_path):
+    from gansynth_tpu.utils.checkpoint import load_ema_npz, save_ema_npz
+
+    state = create_train_state(CFG, seed=0)
+    path = str(tmp_path / "ema.npz")
+    save_ema_npz(path, state.ema_params, 0)
+    other = Config(
+        model=ModelConfig(latent_dim=4, fmap_base=64, fmap_max=16, fmap_min=8),
+        train=TrainConfig(batch_size=2),
+    )
+    template = create_train_state(other, seed=0).ema_params
+    with pytest.raises(ValueError):
+        load_ema_npz(path, template)
+
+
+def test_cli_export_ema_and_generate_from_npz(tmp_path):
+    """cli export-ema writes the archive; generate/evaluate restore from it
+    when no full checkpoint dir is present (the committed-run path)."""
+    import os
+
+    from gansynth_tpu.cli import main as cli_main
+
+    state = create_train_state(CFG, seed=0)
+    model_dir = tmp_path / "run"
+    ckpt = Checkpointer(str(model_dir / "checkpoints"))
+    ckpt.save(3, state, wait=True)
+    flags = ["--latent-dim", "8", "--fmap-base", "64", "--fmap-max", "16",
+             "--config", str(tmp_path / "cfg.json")]
+    (tmp_path / "cfg.json").write_text('{"model": {"fmap_min": 8}}')
+    assert cli_main(["export-ema", "--model-dir", str(model_dir)] + flags) == 0
+    assert (model_dir / "ema.npz").exists()
+
+    # Strip the full checkpoint; generation must fall back to the npz.
+    import shutil
+
+    archived = tmp_path / "archived"
+    os.makedirs(archived)
+    shutil.copy(model_dir / "ema.npz", archived / "ema.npz")
+    out = tmp_path / "wavs"
+    rc = cli_main([
+        "generate", "--model-dir", str(archived), "--output-dir", str(out),
+        "--pitches", "60", "--stage", "1",
+    ] + flags)
+    assert rc == 0
+    assert any(p.suffix == ".wav" for p in out.iterdir())
+
+
 def test_restore_across_device_counts(tmp_path):
     """A checkpoint written from a single-device state restores onto a mesh
     (and the loop re-places it); tree structure is device-layout-free."""
