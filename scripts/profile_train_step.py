@@ -38,22 +38,31 @@ from gansynth_tpu.train.step import pitch_to_onehot
 from gansynth_tpu.utils.config import AudioConfig, Config, ModelConfig, TrainConfig
 
 
-def timed(fn, *args, iters=24, repeats=3):
-    """Median per-iteration seconds of a scanned program."""
+def timed(fn, x, iters=24, repeats=3):
+    """Median per-iteration seconds of ``fn(x)`` amortized in one scan.
+
+    The input is perturbed by the (output-derived) carry each iteration,
+    making the body loop-VARIANT — with a constant input XLA hoists the
+    whole computation out of the scan and the probe times one execution
+    divided by ``iters`` (observed: components summing to 8 ms under a
+    122 ms step). The 1e-30 nudge is far below f32 resolution of O(1)
+    data, so the measured program is numerically the real one.
+    """
     @jax.jit
-    def many(*a):
+    def many(x):
         def body(c, _):
-            out = fn(*a)
-            leaves = [x for x in jax.tree.leaves(out)]
-            return c + jnp.sum(leaves[0].astype(jnp.float32).ravel()[::512]), None
+            out = fn(x + (c * 1e-30).astype(x.dtype))
+            leaf = jax.tree.leaves(out)[0]
+            red = jnp.sum(leaf.astype(jnp.float32).ravel()[::512])
+            return red, None
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return acc
 
-    float(many(*args))  # compile+warm
+    float(many(x))  # compile+warm
     ts = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(many(*args))
+        float(many(x))
         ts.append(time.perf_counter() - t0)
     return min(ts) / iters
 
@@ -127,18 +136,41 @@ def main():
     alphas = jnp.ones(16, jnp.float32)
     waves_k = jnp.broadcast_to(wave, (16,) + wave.shape)
     pitch_k = jnp.broadcast_to(pitch, (16,) + pitch.shape)
-    s, mets = superstep(state, waves_k, pitch_k, alphas)
+    compiled = superstep.lower(state, waves_k, pitch_k, alphas).compile()
+    s, mets = compiled(state, waves_k, pitch_k, alphas)
     float(mets["d_loss"])
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        s, mets = superstep(s, waves_k, pitch_k, alphas)
+        s, mets = compiled(s, waves_k, pitch_k, alphas)
         float(mets["d_loss"])
         ts.append(time.perf_counter() - t0)
     results["full_step"] = min(ts) / 16
 
     for k, v in results.items():
         print(f"{k:28s} {v * 1000:8.2f} ms", flush=True)
+
+    # -- roofline: is the step compute- or bandwidth-limited, and how close
+    #    to either ceiling? XLA's own cost model supplies FLOPs and HBM
+    #    bytes for the compiled program (v5e: ~197 TFLOP/s bf16, ~819 GB/s).
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) / 16
+        bts = float(cost.get("bytes accessed", 0.0)) / 16
+        t_step = results["full_step"]
+        print(f"\nper-step FLOPs {flops/1e9:.1f} G, HBM bytes "
+              f"{bts/1e9:.2f} GB", flush=True)
+        print(f"achieved {flops/t_step/1e12:.2f} TFLOP/s "
+              f"({100*flops/t_step/197e12:.1f}% of bf16 peak), "
+              f"{bts/t_step/1e9:.0f} GB/s "
+              f"({100*bts/t_step/819e9:.1f}% of HBM peak)", flush=True)
+        t_light = max(flops / 197e12, bts / 819e9)
+        print(f"roofline-limited step time {t_light*1e3:.1f} ms -> at "
+              f"{100*t_light/t_step:.0f}% of speed-of-light", flush=True)
+    except Exception as e:
+        print(f"cost analysis unavailable: {e}", flush=True)
 
     # -- profiler trace attempt --
     try:
