@@ -57,7 +57,11 @@ def bench_train(args, jax, jnp) -> dict:
     K steps are fused into one lax.scan program (the framework's own
     superstep); sync is a fetched loss scalar.
     """
-    from gansynth_tpu.train import create_train_state, make_superstep
+    from gansynth_tpu.train import (
+        create_train_state,
+        make_superstep,
+        make_train_step,
+    )
     from gansynth_tpu.utils.config import Config, ModelConfig, TrainConfig
 
     config = Config(
@@ -81,7 +85,13 @@ def bench_train(args, jax, jnp) -> dict:
 
     lowered = step.lower(state, waves, pitches, alphas)
     compiled = lowered.compile()
-    flops_per_step = _flops_of(compiled) / k
+    # FLOPs from the SINGLE-step program: cost_analysis counts a while
+    # body once, not times its trip count, so dividing the fused
+    # program's count by k under-reports ~k-fold (r1's "MFU 4.5%" bug).
+    single = jax.jit(make_train_step(config, stage)).lower(
+        state, waves[0], pitches[0], alphas[0]
+    ).compile()
+    flops_per_step = _flops_of(single)
 
     state, metrics = compiled(state, waves, pitches, alphas)  # warmup
     assert np.isfinite(float(metrics["d_loss"]))  # fetched-scalar sync

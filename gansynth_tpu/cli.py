@@ -74,6 +74,15 @@ def _build_config(args) -> Config:
 
         with open(args.config) as f:
             config = config.with_overrides(json.load(f))
+    if getattr(args, "dump_config", False):
+        # Reproducibility: print the EFFECTIVE config (flags + --config
+        # overrides, every default resolved) as JSON that can be fed back
+        # through --config, then exit without touching any device.
+        import dataclasses as _dc
+        import json
+
+        print(json.dumps(_dc.asdict(config), indent=2, sort_keys=True))
+        raise SystemExit(0)
     return config
 
 
@@ -105,13 +114,26 @@ def _add_common_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint-every", type=int, default=2000)
     p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--dump-config", action="store_true",
+                   help="print the effective config as --config-compatible "
+                   "JSON and exit")
 
 
 def cmd_train(args) -> int:
+    import dataclasses
+    import json
+
     from gansynth_tpu.data import make_nsynth_iterator, write_synthetic_tfrecords
     from gansynth_tpu.train.loop import train
 
     config = _build_config(args)
+    # Persist the effective config with the run: generate/evaluate/serve
+    # derive the trained stage from the SCHEDULE, which lives in flags —
+    # without this file a later `--stage auto` against different flags
+    # would silently sample at the wrong stage.
+    os.makedirs(args.model_dir, exist_ok=True)
+    with open(os.path.join(args.model_dir, "train_config.json"), "w") as f:
+        json.dump(dataclasses.asdict(config), f, indent=2, sort_keys=True)
     files = list(args.data or [])
     if args.synthetic and not files:
         # Per-run fixture file inside the model dir: a shared temp path
@@ -209,11 +231,16 @@ def _restore_sampler(args, config):
     """Restore the EMA generator and build a sampler at the right stage.
 
     A checkpoint taken mid-ladder has untrained blocks above its stage;
-    sampling must run at the TRAINED stage (derived from the restored
-    step via the schedule; waveforms are synthesized from the
-    nearest-upsampled full-resolution image below the final stage).
-    ``--stage`` overrides.
+    sampling must run at the TRAINED stage (waveforms are synthesized from
+    the nearest-upsampled full-resolution image below the final stage).
+    ``--stage auto`` resolves the stage from, in order: the ``__stage__``
+    recorded in ``ema.npz``, the run's persisted ``train_config.json``
+    schedule, or the current flags' schedule — so evaluating a run does
+    NOT require repeating its ``--stage-*-steps`` flags. ``--stage N``
+    overrides.
     """
+    import json
+
     from gansynth_tpu.synth import Sampler
     from gansynth_tpu.train.schedule import schedule_from_config
     from gansynth_tpu.train.state import create_train_state
@@ -222,20 +249,28 @@ def _restore_sampler(args, config):
     template = create_train_state(config)
     npz = os.path.join(args.model_dir, "ema.npz")
     has_full = os.path.isdir(os.path.join(args.model_dir, "checkpoints"))
+    npz_stage = None
     if os.path.exists(npz) and not has_full:
         # Archived runs keep only the compact EMA export (full orbax
         # checkpoints are ~7x larger and only needed to resume training).
-        ema_params, step = load_ema_npz(npz, template.ema_params)
+        ema_params, step, npz_stage = load_ema_npz(npz, template.ema_params)
         state = template.replace(ema_params=ema_params)
     else:
         ckpt = Checkpointer(os.path.join(args.model_dir, "checkpoints"))
         state, step = ckpt.restore(template)
-    if args.stage == "auto":
-        stage, _ = schedule_from_config(config).stage_and_alpha(
+    if args.stage != "auto":
+        stage = int(args.stage)
+    elif npz_stage is not None:
+        stage = npz_stage
+    else:
+        schedule_config = config
+        saved = os.path.join(args.model_dir, "train_config.json")
+        if os.path.exists(saved):
+            with open(saved) as f:
+                schedule_config = Config().with_overrides(json.load(f))
+        stage, _ = schedule_from_config(schedule_config).stage_and_alpha(
             max(step - 1, 0)
         )
-    else:
-        stage = int(args.stage)
     print(f"restored EMA generator from step {step} (sampling at stage "
           f"{stage}, {config.model.stage_resolution(stage)})")
     return Sampler(config, state.ema_params, stage=stage), step, stage
@@ -336,6 +371,9 @@ def cmd_serve(args) -> int:
 
 def cmd_export_ema(args) -> int:
     """Archive a run: latest full checkpoint -> compact EMA-only .npz."""
+    import json
+
+    from gansynth_tpu.train.schedule import schedule_from_config
     from gansynth_tpu.train.state import create_train_state
     from gansynth_tpu.utils.checkpoint import Checkpointer, save_ema_npz
 
@@ -343,10 +381,18 @@ def cmd_export_ema(args) -> int:
     template = create_train_state(config)
     ckpt = Checkpointer(os.path.join(args.model_dir, "checkpoints"))
     state, step = ckpt.restore(template)
+    schedule_config = config
+    saved = os.path.join(args.model_dir, "train_config.json")
+    if os.path.exists(saved):
+        with open(saved) as f:
+            schedule_config = Config().with_overrides(json.load(f))
+    stage, _ = schedule_from_config(schedule_config).stage_and_alpha(
+        max(step - 1, 0)
+    )
     out = args.output or os.path.join(args.model_dir, "ema.npz")
-    save_ema_npz(out, state.ema_params, step)
+    save_ema_npz(out, state.ema_params, step, stage=stage)
     size = os.path.getsize(out) / 2**20
-    print(f"wrote {out} ({size:.1f} MiB, step {step})")
+    print(f"wrote {out} ({size:.1f} MiB, step {step}, stage {stage})")
     return 0
 
 

@@ -1,5 +1,6 @@
 from gansynth_tpu.parallel.sharding import (  # noqa: F401
     make_mesh,
+    make_multislice_mesh,
     batch_sharding,
     chunk_sharding,
     replicated_sharding,

@@ -10,22 +10,27 @@ any dependency beyond the stdlib:
 - ``GET /healthz`` → liveness + model info.
 
 The sampler is compiled at startup for a LADDER of batch sizes (1, 4, ...,
-max_batch; XLA-static shapes) and each request is padded only up to the
-smallest rung that fits, so a 1-note request executes the 1-note program
-instead of paying the full max_batch synthesis. Warm per-rung latency is
-measured at startup and exposed on /healthz. Single-threaded by design:
-one TPU, one compiled program at a time, requests serialize.
+max_batch; XLA-static shapes). Concurrent requests COALESCE: a batcher
+thread drains whatever requests are waiting while the device is busy,
+packs their notes into the smallest rung that fits, and runs ONE device
+program for all of them — so under load the TPU synthesizes full batches
+instead of serializing 1-note programs. Per-note latents derive from
+per-note seeds (synth.make_seeded_sampler), making a note's audio a pure
+function of (params, seed, pitch, note-index) — byte-identical whether it
+was coalesced or served alone on the same rung. Warm per-rung latency is
+measured at startup and exposed on /healthz with the coalescing counters.
 """
 
 from __future__ import annotations
 
 import base64
+import collections
 import io
 import json
 import threading
 import time
 import wave as wavmod
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
@@ -33,8 +38,19 @@ import numpy as np
 from gansynth_tpu.utils.config import Config
 
 
+class _Request:
+    __slots__ = ("seeds", "pitches", "done", "result", "error")
+
+    def __init__(self, seeds, pitches):
+        self.seeds = seeds
+        self.pitches = pitches
+        self.done = threading.Event()
+        self.result = None
+        self.error = None
+
+
 class SynthesisService:
-    """Holds the compiled sampler; thread-safe synthesize()."""
+    """Holds the compiled per-rung samplers and the coalescing batcher."""
 
     def __init__(
         self,
@@ -44,18 +60,19 @@ class SynthesisService:
         stage: Optional[int] = None,
         max_batch: int = 16,
     ):
-        import jax
+        import jax  # noqa: F401  (device runtime)
+        import jax.numpy as jnp
 
-        from gansynth_tpu.synth import Sampler
+        from gansynth_tpu.synth.sampler import make_seeded_sampler
 
         self.config = config
         self.max_batch = max_batch
-        self._sampler = Sampler(config, params, stage=stage)
-        self._lock = threading.Lock()
-        self._jax = jax
+        self._params = params
+        self._jnp = jnp
+        self._sample = make_seeded_sampler(config, stage=stage)
         # Batch-size ladder: geometric rungs up to max_batch. jax.jit
         # specializes per shape, so warming each rung compiles its own
-        # program once; requests then pad only to the smallest fitting
+        # program once; coalesced batches pad only to the smallest fitting
         # rung instead of always paying max_batch.
         ladder = []
         b = 1
@@ -63,16 +80,28 @@ class SynthesisService:
             ladder.append(b)
             b *= 4
         self.batch_ladder = tuple(ladder) + (max_batch,)
+        self.requests_served = 0
+        self.coalesced_batches = 0
+        self.device_batches = 0
+
         self.warm_latency_s = {}
         for b in self.batch_ladder:
-            self._run(0, [60] * b)          # compile
+            self._run_device([0] * b, [60] * b)     # compile
             t0 = time.perf_counter()
-            self._run(0, [60] * b)          # warm (host-observed E2E)
+            self._run_device([0] * b, [60] * b)     # warm (host E2E)
             self.warm_latency_s[b] = round(time.perf_counter() - t0, 4)
 
-    def _run(self, seed: int, padded) -> np.ndarray:
-        with self._lock:
-            waves, _ = self._sampler(self._jax.random.key(seed), padded)
+        self._queue = collections.deque()
+        self._cond = threading.Condition()
+        self._batcher = threading.Thread(target=self._batch_loop, daemon=True)
+        self._batcher.start()
+
+    def _run_device(self, seeds, pitches) -> np.ndarray:
+        waves = self._sample(
+            self._params,
+            self._jnp.asarray(seeds, self._jnp.int32),
+            self._jnp.asarray(pitches, self._jnp.int32),
+        )
         # np.asarray forces the device->host fetch: honest request latency.
         return np.asarray(waves)
 
@@ -83,17 +112,70 @@ class SynthesisService:
                 return b
         raise ValueError(f"at most {self.max_batch} pitches per request")
 
+    def _batch_loop(self) -> None:
+        while True:
+            with self._cond:
+                while not self._queue:
+                    self._cond.wait()
+                batch = [self._queue.popleft()]
+                n = len(batch[0].pitches)
+                # Coalesce whatever else is already waiting, up to the
+                # largest rung. Requests never split across batches.
+                while self._queue and (
+                    n + len(self._queue[0].pitches) <= self.max_batch
+                ):
+                    req = self._queue.popleft()
+                    n += len(req.pitches)
+                    batch.append(req)
+            try:
+                rung = self.rung_for(n)
+                seeds = [s for r in batch for s in r.seeds]
+                pitches = [p for r in batch for p in r.pitches]
+                pad = rung - n
+                waves = self._run_device(
+                    seeds + [0] * pad,
+                    pitches + [self.config.model.pitch_min] * pad,
+                )
+                off = 0
+                for r in batch:
+                    r.result = waves[off:off + len(r.pitches)]
+                    off += len(r.pitches)
+                self.requests_served += len(batch)
+                self.device_batches += 1
+                if len(batch) > 1:
+                    self.coalesced_batches += 1
+            except Exception as e:  # surfaced on the request thread
+                for r in batch:
+                    r.error = e
+            for r in batch:
+                r.done.set()
+
     def synthesize(self, pitches, seed: int = 0) -> np.ndarray:
-        """[len(pitches), 64000] float32; pads to the smallest rung."""
+        """[len(pitches), 64000] float32.
+
+        Note i's latent key is ``hash(seed, i)`` — deterministic per
+        (seed, pitch list position), independent of coalescing.
+        """
         if not pitches:
             raise ValueError("pitches must be non-empty")
-        rung = self.rung_for(len(pitches))
+        if len(pitches) > self.max_batch:
+            raise ValueError(f"at most {self.max_batch} pitches per request")
         lo, hi = self.config.model.pitch_min, self.config.model.pitch_max
         for p in pitches:
             if not lo <= int(p) <= hi:
                 raise ValueError(f"pitch {p} outside [{lo}, {hi}]")
-        padded = list(pitches) + [lo] * (rung - len(pitches))
-        return self._run(seed, padded)[: len(pitches)]
+        seeds = [
+            (int(seed) * 1000003 + i) & 0x7FFFFFFF
+            for i in range(len(pitches))
+        ]
+        req = _Request(seeds, [int(p) for p in pitches])
+        with self._cond:
+            self._queue.append(req)
+            self._cond.notify()
+        req.done.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
 
     def wav_bytes(self, waves: np.ndarray) -> bytes:
         buf = io.BytesIO()
@@ -107,7 +189,7 @@ class SynthesisService:
 
 
 def make_server(service: SynthesisService, host: str = "127.0.0.1",
-                port: int = 0) -> HTTPServer:
+                port: int = 0) -> ThreadingHTTPServer:
     """Build (not run) the HTTP server; ``.server_address`` has the port."""
 
     class Handler(BaseHTTPRequestHandler):
@@ -134,6 +216,9 @@ def make_server(service: SynthesisService, host: str = "127.0.0.1",
                     "warm_latency_s": {
                         str(k): v for k, v in service.warm_latency_s.items()
                     },
+                    "requests_served": service.requests_served,
+                    "device_batches": service.device_batches,
+                    "coalesced_batches": service.coalesced_batches,
                     "num_pitches": m.num_pitches,
                     "sample_rate": service.config.audio.sample_rate,
                 })
@@ -164,7 +249,9 @@ def make_server(service: SynthesisService, host: str = "127.0.0.1",
             except json.JSONDecodeError:
                 self._json(400, {"error": "invalid JSON body"})
 
-    return HTTPServer((host, port), Handler)
+    # Threaded: request handlers block on the coalescing queue, so
+    # concurrency at the HTTP layer is what lets batches form under load.
+    return ThreadingHTTPServer((host, port), Handler)
 
 
 def serve_forever(service: SynthesisService, host: str, port: int) -> None:

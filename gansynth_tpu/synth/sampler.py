@@ -56,6 +56,36 @@ def make_sampler(config: Config, stage: Optional[int] = None):
     return sample
 
 
+def make_seeded_sampler(config: Config, stage: Optional[int] = None):
+    """Per-note-seeded sampler: ``sample(params, seeds [B] i32, pitch [B])
+    -> wave [B, 64000]``.
+
+    Each note's latent derives from ITS OWN key (``jax.random.key(seed_i)``)
+    instead of one whole-batch key, so a note's audio is a pure function of
+    ``(params, seed_i, pitch_i)`` — independent of batch position and of
+    whatever other notes share the device program. This is what makes
+    request coalescing in the serving layer (serve.py) semantics-free.
+    """
+    stage = config.model.num_stages - 1 if stage is None else stage
+    g = Generator(config.model)
+
+    @jax.jit
+    def sample(params, seeds: jax.Array, pitch: jax.Array):
+        keys = jax.vmap(jax.random.key)(seeds.astype(jnp.uint32))
+        z = jax.vmap(
+            lambda k: jax.random.normal(
+                k, (config.model.latent_dim,), jnp.float32
+            )
+        )(keys)
+        labels = pitch_to_onehot(pitch, config)
+        image = g.apply(params, z, labels, stage, jnp.float32(1.0))
+        factor = 1 << (config.model.num_stages - 1 - stage)
+        full = upsample_nearest(image, factor) if factor > 1 else image
+        return image_to_wave(full, config.audio)
+
+    return sample
+
+
 def make_dp_sampler(config: Config, mesh, stage: Optional[int] = None):
     """Data-parallel sampler over a mesh: params replicated, the pitch
     batch and output waveforms sharded on the batch axis — latent->audio

@@ -250,7 +250,8 @@ def train(
                 from gansynth_tpu.utils.checkpoint import save_ema_npz
 
                 save_ema_npz(
-                    f"{workdir}/ema.npz", state.ema_params, new_step
+                    f"{workdir}/ema.npz", state.ema_params, new_step,
+                    stage=schedule.stage_and_alpha(max(new_step - 1, 0))[0],
                 )
         if (
             workdir is not None

@@ -32,14 +32,18 @@ def _wrap_keys(state: TrainState) -> TrainState:
     return state.replace(rng=jax.random.wrap_key_data(state.rng))
 
 
-def save_ema_npz(path: str, ema_params, step: int) -> str:
+def save_ema_npz(
+    path: str, ema_params, step: int, stage: Optional[int] = None
+) -> str:
     """Export the EMA generator alone as one ``.npz`` (compact, durable).
 
     A full TrainState checkpoint carries both optimizers and both networks
     (~7x the generator's size); sampling/evaluation (SURVEY.md §3.2, C3)
     need only the EMA params, so this is the artifact worth archiving with
     a finished run. Keys are '/'-joined pytree paths; the checkpoint step
-    rides along as ``__step__``.
+    rides along as ``__step__`` and (when known) the trained progressive
+    stage as ``__stage__`` — restoring tools then need no schedule config
+    to sample at the right resolution.
     """
     import numpy as np
 
@@ -48,19 +52,24 @@ def save_ema_npz(path: str, ema_params, step: int) -> str:
         jax.tree_util.keystr(kp): np.asarray(leaf) for kp, leaf in flat
     }
     arrays["__step__"] = np.asarray(step, np.int64)
+    if stage is not None:
+        arrays["__stage__"] = np.asarray(stage, np.int64)
     with open(path, "wb") as f:
         np.savez_compressed(f, **arrays)
     return path
 
 
-def load_ema_npz(path: str, template) -> Tuple[object, int]:
+def load_ema_npz(
+    path: str, template
+) -> Tuple[object, int, Optional[int]]:
     """Inverse of :func:`save_ema_npz`: rebuild the EMA param pytree in the
     structure of ``template`` (e.g. ``create_train_state(cfg).ema_params``).
-    Returns ``(ema_params, step)``."""
+    Returns ``(ema_params, step, stage-or-None)``."""
     import numpy as np
 
     with np.load(path) as data:
         step = int(data["__step__"])
+        stage = int(data["__stage__"]) if "__stage__" in data else None
         flat, treedef = jax.tree_util.tree_flatten_with_path(template)
         leaves = []
         for kp, leaf in flat:
@@ -74,7 +83,7 @@ def load_ema_npz(path: str, template) -> Tuple[object, int]:
                     f"shape {leaf.shape} (config mismatch?)"
                 )
             leaves.append(jax.numpy.asarray(arr, leaf.dtype))
-    return jax.tree_util.tree_unflatten(treedef, leaves), step
+    return jax.tree_util.tree_unflatten(treedef, leaves), step, stage
 
 
 class Checkpointer:

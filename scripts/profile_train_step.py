@@ -154,11 +154,19 @@ def main():
     #    to either ceiling? XLA's own cost model supplies FLOPs and HBM
     #    bytes for the compiled program (v5e: ~197 TFLOP/s bf16, ~819 GB/s).
     try:
-        cost = compiled.cost_analysis()
+        # Cost from the SINGLE-step program: cost_analysis counts a while
+        # body once (not x trip count), so the fused program's numbers do
+        # NOT divide by 16.
+        from gansynth_tpu.train import make_train_step
+
+        single = jax.jit(make_train_step(config, stage)).lower(
+            state, wave, pitch, jnp.float32(1.0)
+        ).compile()
+        cost = single.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) / 16
-        bts = float(cost.get("bytes accessed", 0.0)) / 16
+        flops = float(cost.get("flops", 0.0))
+        bts = float(cost.get("bytes accessed", 0.0))
         t_step = results["full_step"]
         print(f"\nper-step FLOPs {flops/1e9:.1f} G, HBM bytes "
               f"{bts/1e9:.2f} GB", flush=True)

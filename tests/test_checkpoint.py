@@ -71,16 +71,19 @@ def test_latest_step_and_missing(tmp_path):
 
 
 def test_ema_npz_roundtrip(tmp_path):
-    """Compact EMA export == in-memory EMA params; step rides along."""
+    """Compact EMA export == in-memory EMA params; step+stage ride along."""
     from gansynth_tpu.utils.checkpoint import load_ema_npz, save_ema_npz
 
     state = create_train_state(CFG, seed=0)
     path = str(tmp_path / "ema.npz")
-    save_ema_npz(path, state.ema_params, 1234)
+    save_ema_npz(path, state.ema_params, 1234, stage=5)
     template = create_train_state(CFG, seed=7).ema_params
-    loaded, step = load_ema_npz(path, template)
-    assert step == 1234
+    loaded, step, stage = load_ema_npz(path, template)
+    assert step == 1234 and stage == 5
     assert_states_equal(state.ema_params, loaded)
+    save_ema_npz(path, state.ema_params, 8)  # stage unknown
+    _, step, stage = load_ema_npz(path, template)
+    assert step == 8 and stage is None
 
 
 def test_ema_npz_shape_mismatch_rejected(tmp_path):
@@ -96,6 +99,41 @@ def test_ema_npz_shape_mismatch_rejected(tmp_path):
     template = create_train_state(other, seed=0).ema_params
     with pytest.raises(ValueError):
         load_ema_npz(path, template)
+
+
+def test_stage_auto_uses_persisted_train_config(tmp_path, capsys):
+    """A run's compressed schedule is persisted with it; `--stage auto`
+    derives the TRAINED stage from that file, not from the caller's flags
+    (regression: evaluating the fidelity run without repeating its
+    --stage-*-steps flags sampled at stage 0 and scored garbage)."""
+    import json
+
+    from gansynth_tpu.cli import main as cli_main
+
+    model_dir = tmp_path / "run"
+    flags = ["--latent-dim", "8", "--fmap-base", "64", "--fmap-max", "16",
+             "--config", str(tmp_path / "cfg.json")]
+    (tmp_path / "cfg.json").write_text('{"model": {"fmap_min": 8}}')
+    rc = cli_main([
+        "train", "--model-dir", str(model_dir), "--synthetic",
+        "--batch-size", "2", "--num-steps", "5",
+        "--stage-fade-steps", "0,1,1,1,1,1,1",
+        "--stage-stable-steps", "1,1,1,1,1,1,1",
+        "--checkpoint-every", "5", "--log-every", "0",
+    ] + flags)
+    assert rc == 0
+    assert json.load(open(model_dir / "train_config.json"))[
+        "train"]["stage_fade_steps"] == [0, 1, 1, 1, 1, 1, 1]
+    # evaluate WITHOUT the schedule flags: stage must come from the file
+    # (step 5 on the 0,1/1,1... schedule = stage 2), not the 800k default
+    # schedule (which would say stage 0).
+    capsys.readouterr()
+    rc = cli_main(["generate", "--model-dir", str(model_dir),
+                   "--output-dir", str(tmp_path / "w"), "--pitches", "60",
+                   ] + flags)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sampling at stage 2" in out
 
 
 def test_cli_export_ema_and_generate_from_npz(tmp_path):

@@ -63,6 +63,27 @@ class TestOverrides:
                       "--config", str(path)])
 
 
+def test_dump_config_roundtrips_through_config_flag(tmp_path, capsys):
+    """--dump-config prints the EFFECTIVE config as JSON that --config
+    accepts back unchanged (reproducibility contract)."""
+    from gansynth_tpu.cli import main as cli_main
+
+    with pytest.raises(SystemExit) as exc:
+        cli_main(["train", "--model-dir", str(tmp_path / "m"), "--synthetic",
+                  "--batch-size", "4", "--compute-dtype", "bfloat16",
+                  "--dump-config"])
+    assert exc.value.code == 0
+    dumped = capsys.readouterr().out
+    parsed = json.loads(dumped)
+    assert parsed["train"]["batch_size"] == 4
+    assert parsed["model"]["compute_dtype"] == "bfloat16"
+    cfg = Config().with_overrides(parsed)
+    assert cfg.train.batch_size == 4
+    assert cfg.model.compute_dtype == "bfloat16"
+    # tuple fields serialize as JSON lists; compare in JSON space
+    assert json.loads(json.dumps(dataclasses.asdict(cfg))) == parsed
+
+
 def test_scale_roundtrip():
     x = np.linspace(-5, 5, 11)
     np.testing.assert_allclose(

@@ -90,6 +90,37 @@ def test_dp_two_meshes_agree(batch):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
 
 
+def test_multislice_mesh_equals_single_device(batch):
+    """A 2-slice x 4-chip (replica, data) mesh — the DCN scale-out
+    topology — runs the unchanged step and matches single-device on the
+    same global batch (hierarchical all-reduce correctness)."""
+    from gansynth_tpu.parallel import make_multislice_mesh
+
+    waves, pitch = batch
+    step_fn = make_train_step(CFG, STAGE)
+
+    s1, m1 = jax.jit(step_fn)(
+        create_train_state(CFG, seed=0), waves, pitch, jnp.float32(0.7)
+    )
+
+    mesh = make_multislice_mesh(2)
+    assert mesh.axis_names == ("replica", "data")
+    assert mesh.devices.shape == (2, 4)
+    dp = jit_train_step_for_mesh(step_fn, mesh)
+    st, w, p = shard_train_inputs(mesh, create_train_state(CFG, seed=0),
+                                  waves, pitch)
+    assert len(w.sharding.device_set) == 8  # batch spans both axes
+    s8, m8 = dp(st, w, p, jnp.float32(0.7))
+
+    for k in m1:
+        np.testing.assert_allclose(
+            np.asarray(m1[k]), np.asarray(m8[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"metric {k}",
+        )
+    for a, b in zip(leaves_as_numpy(s1), leaves_as_numpy(s8)):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
 def test_per_replica_mbstd_shards_and_differs(batch):
     """--mbstd per-replica under the 8-device mesh: runs, stays
     DP==single-device for ITS OWN semantics (per-replica stats are a pure

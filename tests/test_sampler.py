@@ -63,6 +63,25 @@ def test_dp_sampler_matches_single_device(state):
     np.testing.assert_allclose(a, b, atol=2e-4 * max(np.abs(a).max(), 1.0))
 
 
+def test_seeded_sampler_note_independent_of_cobatch(state):
+    """make_seeded_sampler: a note's audio is a pure function of its own
+    (seed, pitch) — identical no matter which notes share the batch
+    (the coalescing-safety contract of the serving layer)."""
+    from gansynth_tpu.synth.sampler import make_seeded_sampler
+
+    sample = make_seeded_sampler(CFG, stage=2)
+    a = sample(state.ema_params, jnp.asarray([7, 11, 13], jnp.int32),
+               jnp.asarray([40, 60, 80], jnp.int32))
+    b = sample(state.ema_params, jnp.asarray([99, 11, 98], jnp.int32),
+               jnp.asarray([24, 60, 84], jnp.int32))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    assert np.abs(np.asarray(a[0]) - np.asarray(b[0])).max() > 0
+    # different seed, same pitch -> different audio
+    c = sample(state.ema_params, jnp.asarray([8, 11, 13], jnp.int32),
+               jnp.asarray([40, 60, 80], jnp.int32))
+    assert np.abs(np.asarray(a[0]) - np.asarray(c[0])).max() > 0
+
+
 def test_low_stage_sampler(state):
     sample = make_sampler(CFG, stage=2)
     wave, image = sample(state.ema_params, jax.random.key(0),

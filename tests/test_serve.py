@@ -96,6 +96,58 @@ def test_determinism_per_seed(server):
     assert bodies[0] == bodies[1]
 
 
+def test_coalescing_merges_waiting_requests():
+    """Requests queued together execute as ONE device batch, and the
+    coalesced result for a (seed, index) note is byte-stable."""
+    from gansynth_tpu.serve import SynthesisService, _Request
+
+    state = create_train_state(CFG, seed=0)
+    service = SynthesisService(CFG, state.ema_params, stage=1, max_batch=4)
+
+    def run_coalesced():
+        reqs = [_Request([100 + i], [40 + i]) for i in range(3)]
+        with service._cond:
+            service._queue.extend(reqs)  # enqueue silently, then wake once
+            service._cond.notify()
+        for r in reqs:
+            assert r.done.wait(timeout=120)
+            assert r.error is None
+        return np.concatenate([r.result for r in reqs])
+
+    before = service.device_batches
+    a = run_coalesced()
+    assert service.device_batches == before + 1  # one program, 3 requests
+    assert service.coalesced_batches >= 1
+    assert service.requests_served >= 3
+    b = run_coalesced()
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (3, 64000) and np.isfinite(a).all()
+
+
+def test_concurrent_clients(server):
+    """Many simultaneous 1-note requests all succeed (and may coalesce)."""
+    results, errors = {}, []
+
+    def client(i):
+        try:
+            with post(server + "/synthesize",
+                      {"pitches": [30 + i], "seed": i}) as r:
+                results[i] = r.read()
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert not errors
+    assert len(results) == 6
+    for body in results.values():
+        with wavmod.open(io.BytesIO(body)) as f:
+            assert f.getnframes() == 64000
+
+
 def test_error_paths(server):
     for payload, frag in [
         ({"pitches": []}, "non-empty"),
