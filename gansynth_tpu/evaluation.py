@@ -51,6 +51,68 @@ def detect_midi_pitch(
     return 69.0 + 12.0 * np.log2(max(f0, 1e-6) / 440.0)
 
 
+def detect_midi_pitch_acf(
+    wave: np.ndarray,
+    sample_rate: int = 16000,
+    *,
+    fmin: float = 27.5,
+    fmax: float = 2000.0,
+) -> float:
+    """Fundamental estimate via the normalized autocorrelation peak.
+
+    Independent failure modes from the harmonic-sum detector
+    (:func:`detect_midi_pitch`): ACF errs toward SUBharmonics (period
+    multiples score highly) where harmonic summation errs toward
+    harmonics — agreement between the two is strong evidence the
+    detected pitch is the true f0, and their disagreement pattern
+    separates model octave errors from metric artifacts.
+    """
+    wave = np.asarray(wave, np.float64).reshape(-1)
+    wave = wave - wave.mean()
+    n = wave.size
+    spec = np.fft.rfft(wave, 2 * n)
+    r = np.fft.irfft(spec * np.conj(spec))[:n]
+    if r[0] <= 0:
+        return float("nan")
+    r /= r[0]
+    lag_min = max(int(sample_rate / fmax), 2)
+    lag_max = min(int(sample_rate / fmin), n - 2)
+
+    def refined(lag):
+        """(interpolated peak value, interpolated lag) near ``lag``."""
+        lo = max(lag - 2, 1)
+        hi = min(lag + 3, n - 1)
+        k = lo + int(np.argmax(r[lo:hi]))
+        a, b, c = r[k - 1], r[k], r[k + 1]
+        denom = a - 2 * b + c
+        shift = 0.5 * (a - c) / denom if abs(denom) > 1e-12 else 0.0
+        shift = float(np.clip(shift, -1, 1))
+        return float(b - 0.25 * (a - c) * shift), k + shift
+
+    # The zero-lag ridge (envelope correlation) decays slowly for
+    # low-pitched content and would win argmax; search only past the
+    # first negative excursion of r (always < the true period: the
+    # fundamental's cosine term crosses zero at T/4).
+    neg = np.nonzero(r[:lag_max] < 0)[0]
+    start = max(lag_min, int(neg[0])) if neg.size else lag_min
+    best_lag = start + int(np.argmax(r[start:lag_max]))
+    best_val, best_pos = refined(best_lag)
+    # Submultiple correction: a period MULTIPLE whose peak lands closer
+    # to an integer lag can out-sample the true period, so compare
+    # INTERPOLATED peak heights at best/k and take the shortest strong,
+    # phase-consistent one.
+    for k in range(8, 1, -1):
+        cand = int(round(best_pos / k))
+        if cand < max(lag_min, 2):
+            continue
+        val, pos = refined(cand)
+        if val >= 0.85 * best_val and abs(pos * k - best_pos) < 0.05 * best_pos:
+            best_val, best_pos = val, pos
+            break
+    f0 = sample_rate / best_pos
+    return 69.0 + 12.0 * np.log2(max(f0, 1e-6) / 440.0)
+
+
 def pitch_accuracy(
     waves: np.ndarray,
     pitches: Sequence[int],
@@ -58,16 +120,32 @@ def pitch_accuracy(
     *,
     tolerance_semitones: float = 0.5,
 ) -> Dict[str, float]:
-    """Detected-vs-conditioned pitch agreement over a batch of notes."""
-    detected = np.array(
-        [detect_midi_pitch(w, sample_rate) for w in np.asarray(waves)]
+    """Detected-vs-conditioned pitch agreement over a batch of notes.
+
+    Reports the harmonic-sum detector as the primary metric plus the
+    autocorrelation cross-check (``*_acf``) and the accuracy under the
+    per-note BEST of the two (``pitch_accuracy_either``) — an upper
+    bound that discounts single-detector octave artifacts.
+    """
+    waves = np.asarray(waves)
+    detected = np.array([detect_midi_pitch(w, sample_rate) for w in waves])
+    detected_acf = np.array(
+        [detect_midi_pitch_acf(w, sample_rate) for w in waves]
     )
     target = np.asarray(pitches, np.float64)
     err = np.abs(detected - target)
+    err_acf = np.abs(detected_acf - target)
+    err_best = np.fmin(err, err_acf)
     return {
         "pitch_accuracy": float(np.mean(err <= tolerance_semitones)),
         "pitch_mae_semitones": float(np.mean(err)),
         "pitch_median_error_semitones": float(np.median(err)),
+        "pitch_accuracy_acf": float(np.mean(err_acf <= tolerance_semitones)),
+        "pitch_median_error_acf": float(np.median(err_acf)),
+        "pitch_accuracy_either": float(
+            np.mean(err_best <= tolerance_semitones)
+        ),
+        "pitch_mae_either": float(np.mean(err_best)),
     }
 
 

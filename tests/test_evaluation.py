@@ -37,15 +37,32 @@ class TestPitchDetection:
             detected = detect_midi_pitch(wave)
             assert abs(detected - midi) < 0.5, (midi, nh, dec, detected)
 
+    @pytest.mark.parametrize("midi", [30, 48, 60, 72, 84])
+    def test_acf_detector_agrees(self, midi):
+        """The autocorrelation cross-check detector lands on the same
+        fundamental as the harmonic-sum detector on known notes."""
+        from gansynth_tpu.evaluation import detect_midi_pitch_acf
+
+        wave = synthesize_note(midi)
+        assert abs(detect_midi_pitch_acf(wave) - midi) < 0.5
+        # pure tone too (no harmonics for either detector to lean on)
+        t = np.arange(64000) / 16000.0
+        tone = np.sin(2 * np.pi * midi_to_hz(midi) * t).astype(np.float32)
+        assert abs(detect_midi_pitch_acf(tone) - midi) < 0.5
+
     def test_pitch_accuracy_batch(self):
         pitches = [40, 52, 64, 76]
         waves = np.stack([synthesize_note(p) for p in pitches])
         m = pitch_accuracy(waves, pitches)
         assert m["pitch_accuracy"] == 1.0
         assert m["pitch_mae_semitones"] < 0.5
-        # wrong labels are caught
+        assert m["pitch_accuracy_acf"] == 1.0
+        assert m["pitch_accuracy_either"] == 1.0
+        assert m["pitch_mae_either"] <= m["pitch_mae_semitones"] + 1e-12
+        # wrong labels are caught by every detector
         m_bad = pitch_accuracy(waves, [p + 7 for p in pitches])
         assert m_bad["pitch_accuracy"] == 0.0
+        assert m_bad["pitch_accuracy_either"] == 0.0
 
 
 class TestSpectralRoundtripFidelity:
