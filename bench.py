@@ -34,10 +34,18 @@ import time
 import numpy as np
 
 # Peak dense-matmul throughput per chip, used for the MFU denominator.
-# TPU v5e (v5 lite): 197 TFLOP/s bf16 (f32 runs through the same MXU via
-# bf16x3 passes; MFU is reported against the bf16 peak either way).
-PEAK_FLOPS = {"tpu v5 lite": 197e12, "tpu v5e": 197e12}
-DEFAULT_PEAK = 197e12
+# bf16 peaks (f32 runs through the same MXU via bf16x3 passes; MFU is
+# reported against the bf16 peak either way). Unknown kinds report a NULL
+# MFU (peak_flops_known: false) rather than a silently-wrong number.
+PEAK_FLOPS = {
+    "tpu v5 lite": 197e12,
+    "tpu v5e": 197e12,
+    "tpu v4": 275e12,
+    "tpu v5": 459e12,
+    "tpu v5p": 459e12,
+    "tpu v6 lite": 918e12,
+    "tpu v6e": 918e12,
+}
 
 
 def _flops_of(compiled) -> float:
@@ -103,9 +111,17 @@ def bench_train(args, jax, jnp) -> dict:
         times.append(time.perf_counter() - t0)
     per_step = float(np.median(times)) / k
 
+    # MFU is only meaningful against a KNOWN peak: report the device kind
+    # and emit a null MFU (flagged) rather than silently assuming a v5e
+    # peak on unrecognized hardware.
     device_kind = jax.devices()[0].device_kind.lower()
-    peak = PEAK_FLOPS.get(device_kind, DEFAULT_PEAK)
-    mfu = (flops_per_step / per_step) / peak if flops_per_step else None
+    peak = PEAK_FLOPS.get(device_kind)
+    peak_known = peak is not None
+    mfu = (
+        (flops_per_step / per_step) / peak
+        if (flops_per_step and peak_known)
+        else None
+    )
     return {
         "train_steps_per_sec": round(1.0 / per_step, 3),
         "train_examples_per_sec": round(args.train_batch / per_step, 2),
@@ -113,6 +129,8 @@ def bench_train(args, jax, jnp) -> dict:
         "train_dtype": args.dtype,
         "train_flops_per_step": flops_per_step or None,
         "train_mfu": round(mfu, 4) if mfu is not None else None,
+        "device_kind": device_kind,
+        "peak_flops_known": peak_known,
         "train_peak_flops_assumed": peak,
     }
 

@@ -37,6 +37,9 @@ def _parse_stage_steps(text):
 def _build_config(args) -> Config:
     train = TrainConfig(
         batch_size=args.batch_size,
+        stage_batch_sizes=_parse_stage_steps(
+            getattr(args, "stage_batch_sizes", None)
+        ),
         learning_rate=args.learning_rate,
         fade_steps=args.fade_steps,
         stable_steps=args.stable_steps,
@@ -91,6 +94,11 @@ def _add_common_train_flags(p: argparse.ArgumentParser) -> None:
                    '{"audio": {...}, "model": {...}, "train": {...}} '
                    "overrides, applied on top of the flags")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--stage-batch-sizes", default=None,
+                   help="comma-separated per-stage GLOBAL batch sizes "
+                   "(one per stage; overrides --batch-size — large "
+                   "batches at the cheap low resolutions shorten the "
+                   "ladder, SURVEY.md §3.4)")
     p.add_argument("--learning-rate", type=float, default=8e-4)
     p.add_argument("--latent-dim", type=int, default=256)
     p.add_argument("--fmap-base", type=int, default=4096)
@@ -206,6 +214,26 @@ def cmd_train(args) -> int:
         device_dataset = (np.concatenate(waves), np.concatenate(pitches))
         print(f"device cache: {device_dataset[0].shape[0]} examples "
               f"({device_dataset[0].nbytes / 2**20:.0f} MiB) in HBM")
+    elif config.train.stage_batch_sizes is not None:
+        # Per-stage batch sizes: the loop asks for one stream per ladder
+        # stage (fixed-batch iterators cannot change shape mid-stream).
+        # Each stage gets an independent shuffle stream; skip_batches
+        # positions it for exact resume.
+        acoustic = not args.synthetic
+
+        def data_factory(stage, global_batch, skip):
+            if global_batch % num_shards:
+                raise ValueError(
+                    f"stage {stage} global batch {global_batch} must "
+                    f"divide the process count {num_shards}"
+                )
+            return make_iterator(
+                files, config, acoustic_only=acoustic,
+                batch_size=global_batch // num_shards,
+                seed=config.train.seed + 7919 * stage,
+                num_shards=num_shards, shard_index=shard_index,
+                skip_batches=skip,
+            )
     else:
         data = make_iterator(
             files, config, acoustic_only=not args.synthetic,
@@ -221,31 +249,82 @@ def cmd_train(args) -> int:
         use_mesh=args.data_parallel or args.multihost,
         device_dataset=device_dataset,
         data_position=resume_step,
+        data_factory=(
+            data_factory
+            if config.train.stage_batch_sizes is not None
+            and device_dataset is None
+            else None
+        ),
     )
     print(f"trained to step {int(state.step)}; checkpoints in "
           f"{args.model_dir}/checkpoints")
     return 0
 
 
+# (flag name, parser default) for the model flags a restore template
+# depends on — used to tell "explicitly overridden" from "left default".
+_MODEL_FLAG_DEFAULTS = (
+    ("latent_dim", 256),
+    ("fmap_base", 4096),
+    ("fmap_max", 256),
+    ("compute_dtype", "float32"),
+)
+
+
+def _run_config(args, config) -> Config:
+    """Config for RESTORING a trained run.
+
+    The run's persisted ``train_config.json`` is the source of truth for
+    the model/audio/schedule a checkpoint was trained with — a run trained
+    with non-default flags restores WITHOUT repeating them. Explicit
+    caller choices still win: any model flag that differs from its parser
+    default, and the ``--config`` JSON, are re-applied on top.
+    """
+    import dataclasses
+    import json
+
+    saved = os.path.join(args.model_dir, "train_config.json")
+    if not os.path.exists(saved):
+        return config
+    with open(saved) as f:
+        run = Config().with_overrides(json.load(f))
+    flag_overrides = {
+        name: getattr(args, name)
+        for name, default in _MODEL_FLAG_DEFAULTS
+        if getattr(args, name, default) != default
+    }
+    if flag_overrides:
+        run = dataclasses.replace(
+            run, model=dataclasses.replace(run.model, **flag_overrides)
+        )
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            run = run.with_overrides(json.load(f))
+    return run
+
+
 def _restore_sampler(args, config):
     """Restore the EMA generator and build a sampler at the right stage.
+
+    Returns ``(sampler, step, stage, run_config)`` — the run config comes
+    from :func:`_run_config` (persisted train_config.json, flag overrides
+    on top), so callers must use IT, not their flag-built config, for
+    everything downstream (sample rate, pitch range, serving).
 
     A checkpoint taken mid-ladder has untrained blocks above its stage;
     sampling must run at the TRAINED stage (waveforms are synthesized from
     the nearest-upsampled full-resolution image below the final stage).
     ``--stage auto`` resolves the stage from, in order: the ``__stage__``
-    recorded in ``ema.npz``, the run's persisted ``train_config.json``
-    schedule, or the current flags' schedule — so evaluating a run does
-    NOT require repeating its ``--stage-*-steps`` flags. ``--stage N``
-    overrides.
+    recorded in ``ema.npz`` or the run's schedule — so evaluating a run
+    does NOT require repeating its ``--stage-*-steps`` flags. ``--stage
+    N`` overrides.
     """
-    import json
-
     from gansynth_tpu.synth import Sampler
     from gansynth_tpu.train.schedule import schedule_from_config
     from gansynth_tpu.train.state import create_train_state
     from gansynth_tpu.utils.checkpoint import Checkpointer, load_ema_npz
 
+    config = _run_config(args, config)
     template = create_train_state(config)
     npz = os.path.join(args.model_dir, "ema.npz")
     has_full = os.path.isdir(os.path.join(args.model_dir, "checkpoints"))
@@ -263,17 +342,12 @@ def _restore_sampler(args, config):
     elif npz_stage is not None:
         stage = npz_stage
     else:
-        schedule_config = config
-        saved = os.path.join(args.model_dir, "train_config.json")
-        if os.path.exists(saved):
-            with open(saved) as f:
-                schedule_config = Config().with_overrides(json.load(f))
-        stage, _ = schedule_from_config(schedule_config).stage_and_alpha(
+        stage, _ = schedule_from_config(config).stage_and_alpha(
             max(step - 1, 0)
         )
     print(f"restored EMA generator from step {step} (sampling at stage "
           f"{stage}, {config.model.stage_resolution(stage)})")
-    return Sampler(config, state.ema_params, stage=stage), step, stage
+    return Sampler(config, state.ema_params, stage=stage), step, stage, config
 
 
 def cmd_generate(args) -> int:
@@ -282,7 +356,7 @@ def cmd_generate(args) -> int:
     from gansynth_tpu.utils.audio_io import write_wav
 
     config = _build_config(args)
-    sampler, step, _ = _restore_sampler(args, config)
+    sampler, step, _, config = _restore_sampler(args, config)
     pitches = [int(p) for p in args.pitches]
     os.makedirs(args.output_dir, exist_ok=True)
     key = jax.random.key(args.seed)
@@ -336,7 +410,7 @@ def cmd_evaluate(args) -> int:
     )
 
     config = _build_config(args)
-    sampler, step, _ = _restore_sampler(args, config)
+    sampler, step, _, config = _restore_sampler(args, config)
     if args.lsd_data:
         reference_fn = tfrecord_reference_fn(args.lsd_data, config)
     else:
@@ -360,9 +434,11 @@ def cmd_serve(args) -> int:
     from gansynth_tpu.serve import SynthesisService, serve_forever
 
     config = _build_config(args)
-    sampler, step, stage = _restore_sampler(args, config)
+    sampler, step, stage, config = _restore_sampler(args, config)
     service = SynthesisService(
-        config, sampler.params, stage=stage, max_batch=args.max_batch
+        config, sampler.params, stage=stage, max_batch=args.max_batch,
+        max_queue_notes=args.max_queue_notes,
+        request_timeout_s=args.request_timeout,
     )
     print(f"model at step {step}; warmup compile done")
     serve_forever(service, args.host, args.port)
@@ -371,22 +447,15 @@ def cmd_serve(args) -> int:
 
 def cmd_export_ema(args) -> int:
     """Archive a run: latest full checkpoint -> compact EMA-only .npz."""
-    import json
-
     from gansynth_tpu.train.schedule import schedule_from_config
     from gansynth_tpu.train.state import create_train_state
     from gansynth_tpu.utils.checkpoint import Checkpointer, save_ema_npz
 
-    config = _build_config(args)
+    config = _run_config(args, _build_config(args))
     template = create_train_state(config)
     ckpt = Checkpointer(os.path.join(args.model_dir, "checkpoints"))
     state, step = ckpt.restore(template)
-    schedule_config = config
-    saved = os.path.join(args.model_dir, "train_config.json")
-    if os.path.exists(saved):
-        with open(saved) as f:
-            schedule_config = Config().with_overrides(json.load(f))
-    stage, _ = schedule_from_config(schedule_config).stage_and_alpha(
+    stage, _ = schedule_from_config(config).stage_and_alpha(
         max(step - 1, 0)
     )
     out = args.output or os.path.join(args.model_dir, "ema.npz")
@@ -474,6 +543,12 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8400)
     p.add_argument("--max-batch", type=int, default=16)
+    p.add_argument("--max-queue-notes", type=int, default=256,
+                   help="backpressure bound: queued notes beyond this get "
+                   "HTTP 429 instead of growing the queue without limit")
+    p.add_argument("--request-timeout", type=float, default=30.0,
+                   help="seconds before a queued/running request fails "
+                   "with HTTP 504 (a wedged device fails fast)")
     p.add_argument("--stage", default="auto",
                    help="generator stage; 'auto' derives from checkpoint")
     _add_common_train_flags(p)

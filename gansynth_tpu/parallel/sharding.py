@@ -60,15 +60,34 @@ def make_multislice_mesh(
     if n % num_slices:
         raise ValueError(f"{n} devices do not divide {num_slices} slices")
     per_slice = n // num_slices
-    try:
+    # Real multi-slice hardware carries slice_index metadata per device;
+    # decide the grid source EXPLICITLY instead of catching a broad
+    # exception — a genuine topology/config error must surface, not
+    # silently degrade to a reshape whose replica axis straddles ICI/DCN.
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if None not in slice_ids and len(slice_ids) > 1:
+        if len(slice_ids) != num_slices:
+            raise ValueError(
+                f"devices span {len(slice_ids)} slices but num_slices="
+                f"{num_slices}"
+            )
         from jax.experimental import mesh_utils
 
         grid = mesh_utils.create_hybrid_device_mesh(
             (1, per_slice), (num_slices, 1), devices=devices
         )
-    except Exception:  # no slice_index metadata (CPU / single slice)
+    else:  # no slice metadata (CPU tests / single physical slice)
         import numpy as np
 
+        if devices[0].platform != "cpu":
+            import warnings
+
+            warnings.warn(
+                "make_multislice_mesh: no multi-slice metadata on "
+                f"{devices[0].platform} devices; using a plain reshape — "
+                "the replica axis may not align with DCN boundaries",
+                stacklevel=2,
+            )
         grid = np.array(devices).reshape(num_slices, per_slice)
     return Mesh(
         grid,

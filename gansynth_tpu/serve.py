@@ -38,8 +38,17 @@ import numpy as np
 from gansynth_tpu.utils.config import Config
 
 
+class ServiceOverloadedError(RuntimeError):
+    """Queue is at capacity — the client should back off (HTTP 429)."""
+
+
+class RequestTimeoutError(RuntimeError):
+    """The request did not complete in time (HTTP 504) — e.g. a wedged
+    device dispatch. The request is abandoned, never served late."""
+
+
 class _Request:
-    __slots__ = ("seeds", "pitches", "done", "result", "error")
+    __slots__ = ("seeds", "pitches", "done", "result", "error", "abandoned")
 
     def __init__(self, seeds, pitches):
         self.seeds = seeds
@@ -47,6 +56,7 @@ class _Request:
         self.done = threading.Event()
         self.result = None
         self.error = None
+        self.abandoned = False
 
 
 class SynthesisService:
@@ -59,6 +69,8 @@ class SynthesisService:
         *,
         stage: Optional[int] = None,
         max_batch: int = 16,
+        max_queue_notes: int = 256,
+        request_timeout_s: float = 30.0,
     ):
         import jax  # noqa: F401  (device runtime)
         import jax.numpy as jnp
@@ -67,6 +79,12 @@ class SynthesisService:
 
         self.config = config
         self.max_batch = max_batch
+        # Backpressure bounds (SURVEY.md §5 failure posture): an unbounded
+        # queue turns a wedged device into every client blocking forever,
+        # invisibly. Overflow -> 429; staleness -> 504 with the request
+        # abandoned (never served late).
+        self.max_queue_notes = max_queue_notes
+        self.request_timeout_s = request_timeout_s
         self._params = params
         self._jnp = jnp
         self._sample = make_seeded_sampler(config, stage=stage)
@@ -83,6 +101,10 @@ class SynthesisService:
         self.requests_served = 0
         self.coalesced_batches = 0
         self.device_batches = 0
+        self.requests_rejected = 0
+        self.requests_timed_out = 0
+        self._queued_notes = 0      # notes waiting in _queue
+        self._in_flight_notes = 0   # notes inside the current device call
 
         self.warm_latency_s = {}
         for b in self.batch_ladder:
@@ -117,16 +139,24 @@ class SynthesisService:
             with self._cond:
                 while not self._queue:
                     self._cond.wait()
-                batch = [self._queue.popleft()]
-                n = len(batch[0].pitches)
-                # Coalesce whatever else is already waiting, up to the
-                # largest rung. Requests never split across batches.
+                batch = []
+                n = 0
+                # Coalesce whatever is already waiting, up to the largest
+                # rung. Requests never split across batches. Timed-out
+                # (abandoned) requests are discarded here, not served.
                 while self._queue and (
-                    n + len(self._queue[0].pitches) <= self.max_batch
+                    not batch
+                    or n + len(self._queue[0].pitches) <= self.max_batch
                 ):
                     req = self._queue.popleft()
+                    self._queued_notes -= len(req.pitches)
+                    if req.abandoned:
+                        continue
                     n += len(req.pitches)
                     batch.append(req)
+                if not batch:
+                    continue
+                self._in_flight_notes = n
             try:
                 rung = self.rung_for(n)
                 seeds = [s for r in batch for s in r.seeds]
@@ -147,14 +177,30 @@ class SynthesisService:
             except Exception as e:  # surfaced on the request thread
                 for r in batch:
                     r.error = e
+            finally:
+                with self._cond:
+                    self._in_flight_notes = 0
             for r in batch:
                 r.done.set()
 
-    def synthesize(self, pitches, seed: int = 0) -> np.ndarray:
+    def synthesize(
+        self, pitches, seed: int = 0, timeout_s: Optional[float] = None
+    ) -> np.ndarray:
         """[len(pitches), 64000] float32.
 
         Note i's latent key is ``hash(seed, i)`` — deterministic per
-        (seed, pitch list position), independent of coalescing.
+        (seed, pitch list position), independent of coalescing. Caveat: a
+        note's audio is byte-stable only per batch RUNG — the same request
+        can land on different rungs depending on co-arriving traffic, and
+        XLA's batch-size specialization may differ in the last bits across
+        rungs. When byte-stability matters, pin the rung by sending
+        exactly ``max_batch`` notes (documented on ``/healthz``).
+
+        Raises :class:`ServiceOverloadedError` when the queue is at
+        capacity and :class:`RequestTimeoutError` when the request does
+        not finish within ``timeout_s`` (default: the service's
+        ``request_timeout_s``) — the request is abandoned, so a wedged
+        device fails fast instead of blocking every client forever.
         """
         if not pitches:
             raise ValueError("pitches must be non-empty")
@@ -170,9 +216,24 @@ class SynthesisService:
         ]
         req = _Request(seeds, [int(p) for p in pitches])
         with self._cond:
+            if self._queued_notes + len(pitches) > self.max_queue_notes:
+                self.requests_rejected += 1
+                raise ServiceOverloadedError(
+                    f"queue full ({self._queued_notes} notes waiting, "
+                    f"limit {self.max_queue_notes}); retry later"
+                )
             self._queue.append(req)
+            self._queued_notes += len(pitches)
             self._cond.notify()
-        req.done.wait()
+        timeout = self.request_timeout_s if timeout_s is None else timeout_s
+        if not req.done.wait(timeout):
+            with self._cond:
+                req.abandoned = True
+                self.requests_timed_out += 1
+            raise RequestTimeoutError(
+                f"request not served within {timeout:.1f}s "
+                "(device stalled or overloaded)"
+            )
         if req.error is not None:
             raise req.error
         return req.result
@@ -219,8 +280,19 @@ def make_server(service: SynthesisService, host: str = "127.0.0.1",
                     "requests_served": service.requests_served,
                     "device_batches": service.device_batches,
                     "coalesced_batches": service.coalesced_batches,
+                    "requests_rejected": service.requests_rejected,
+                    "requests_timed_out": service.requests_timed_out,
+                    "queued_notes": service._queued_notes,
+                    "in_flight_notes": service._in_flight_notes,
+                    "max_queue_notes": service.max_queue_notes,
+                    "request_timeout_s": service.request_timeout_s,
                     "num_pitches": m.num_pitches,
                     "sample_rate": service.config.audio.sample_rate,
+                    # Byte-stability contract: a note's audio is a pure
+                    # function of (params, seed, pitch) per batch RUNG;
+                    # coalescing may move a request across rungs, whose
+                    # XLA programs can differ in the last float bits.
+                    "determinism": "per-rung",
                 })
             else:
                 self._json(404, {"error": "unknown path"})
@@ -244,6 +316,10 @@ def make_server(service: SynthesisService, host: str = "127.0.0.1",
                     })
                 else:
                     self._reply(200, wav, "audio/wav")
+            except ServiceOverloadedError as e:
+                self._json(429, {"error": str(e)})
+            except RequestTimeoutError as e:
+                self._json(504, {"error": str(e)})
             except ValueError as e:
                 self._json(400, {"error": str(e)})
             except json.JSONDecodeError:

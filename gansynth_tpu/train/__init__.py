@@ -4,6 +4,7 @@ from gansynth_tpu.train.schedule import (  # noqa: F401
     schedule_from_config,
 )
 from gansynth_tpu.train.step import (  # noqa: F401
+    cached_batch_indices,
     make_cached_superstep,
     make_superstep,
     make_train_step,

@@ -46,17 +46,19 @@ from gansynth_tpu.utils.config import Config
 
 
 def _dump_samples(
-    config, state, stage: int, step: int, workdir: str, logger=None
+    config, state, sample, step: int, workdir: str, logger=None
 ) -> None:
     """Periodic EMA-generator artifacts (SURVEY.md §5): sample the
     configured pitches at the CURRENT stage, write wavs, and emit
-    TensorBoard audio/spectrogram summaries when a logger is attached."""
+    TensorBoard audio/spectrogram summaries when a logger is attached.
+
+    ``sample`` is a stage-bound sampler from ``make_sampler`` — built ONCE
+    per stage by the caller (the same dict-cache pattern as ``step_fns``):
+    ``make_sampler`` returns a fresh ``jax.jit`` each call, so rebuilding
+    it here would recompile the whole synthesis program on every dump."""
     import os
 
-    from gansynth_tpu.synth.sampler import make_sampler
     from gansynth_tpu.utils.audio_io import write_wav
-
-    sample = make_sampler(config, stage)
     pitches = jnp.asarray(config.train.sample_pitches, jnp.int32)
     key = jax.random.fold_in(jax.random.key(config.train.seed), step)
     waves, images = sample(state.ema_params, key, pitches)
@@ -90,12 +92,23 @@ def train(
     on_metrics: Optional[Callable[[int, int, Dict], None]] = None,
     device_dataset: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     data_position: int = 0,
+    data_factory: Optional[Callable[[int, int, int], Iterator]] = None,
 ) -> TrainState:
     """Run (or resume) training; returns the final state.
 
     data_iter yields (wave [B, 64000] f32, pitch [B] int) numpy batches;
     it may be None when ``device_dataset`` (all_waves [N, T], all_pitches
-    [N]) supplies an HBM-resident dataset instead.
+    [N]) supplies an HBM-resident dataset, or when ``data_factory``
+    supplies per-stage streams.
+
+    ``data_factory(stage, global_batch, skip_batches)`` builds the data
+    stream for one ladder stage — required when
+    ``config.train.stage_batch_sizes`` varies the batch across stages (a
+    fixed-batch ``data_iter`` cannot change shape mid-stream). Each
+    stage's stream is independent; on (re)entering a stage the loop
+    requests the stream already advanced ``skip_batches`` = steps into
+    that stage, so resume is exact with no cross-stage position
+    arithmetic.
 
     Data-iterator resume (SURVEY.md §5): the stream position IS the global
     step (one batch per step), so on resume the loop fast-forwards
@@ -135,8 +148,18 @@ def train(
         all_waves = jnp.asarray(device_dataset[0], jnp.float32)
         all_pitches = jnp.asarray(device_dataset[1], jnp.int32)
         num_examples = int(all_waves.shape[0])
-    elif data_iter is None:
-        raise ValueError("pass data_iter or device_dataset")
+    elif data_iter is None and data_factory is None:
+        raise ValueError("pass data_iter, data_factory, or device_dataset")
+    if (
+        config.train.stage_batch_sizes is not None
+        and device_dataset is None
+        and data_factory is None
+    ):
+        raise ValueError(
+            "stage_batch_sizes needs data_factory (a fixed-batch "
+            "data_iter cannot change shape across stages) or "
+            "device_dataset"
+        )
     if data_iter is not None:
         behind = int(state.step) - data_position
         if behind < 0:
@@ -148,7 +171,7 @@ def train(
             next(data_iter)
     if mesh is not None:
         state = replicate_on_mesh(mesh, state)
-        if unroll == 1:
+        if unroll == 1 and data_iter is not None:
             # Double-buffered sharded infeed: keep batches transferred
             # ahead of the step so host decode overlaps device compute
             # (SURVEY.md §7 step 5; mitigates hard-part 4). With unroll>1
@@ -159,6 +182,14 @@ def train(
             data_iter = prefetch_to_mesh(data_iter, mesh, depth=2)
 
     step_fns: Dict[int, Callable] = {}
+    sampler_fns: Dict[int, Callable] = {}
+
+    def get_sampler(stage: int):
+        if stage not in sampler_fns:
+            from gansynth_tpu.synth.sampler import make_sampler
+
+            sampler_fns[stage] = make_sampler(config, stage)
+        return sampler_fns[stage]
 
     def get_step_fn(stage: int, fused: bool):
         key = (stage, fused)
@@ -187,9 +218,29 @@ def train(
     t_last = time.perf_counter()
     steps_since_log = 0
 
+    def _stage_start(step: int) -> int:
+        for _, seg_start, seg_end in schedule.stage_boundaries():
+            if step < seg_end:
+                return seg_start
+        return seg_start  # past the ladder: final stage's segment
+
+    factory_stage = None
     step_idx = start
     while step_idx < end:
         stage, _ = schedule.stage_and_alpha(step_idx)
+        if data_factory is not None and stage != factory_stage:
+            # Per-stage stream: built already advanced to this step's
+            # position within the stage (exact resume, any batch size).
+            data_iter = data_factory(
+                stage,
+                config.train.batch_for_stage(stage),
+                step_idx - _stage_start(step_idx),
+            )
+            if mesh is not None and unroll == 1:
+                from gansynth_tpu.data.nsynth import prefetch_to_mesh
+
+                data_iter = prefetch_to_mesh(data_iter, mesh, depth=2)
+            factory_stage = stage
         k = min(unroll, end - step_idx,
                 schedule.steps_until_stage_change(step_idx))
         alphas = np.asarray(
@@ -258,7 +309,9 @@ def train(
             and config.train.sample_every
             and _crossed(step_idx, new_step, config.train.sample_every)
         ):
-            _dump_samples(config, state, stage, new_step, workdir, logger)
+            _dump_samples(
+                config, state, get_sampler(stage), new_step, workdir, logger
+            )
         step_idx = new_step
 
     if checkpointer is not None:

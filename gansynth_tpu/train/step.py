@@ -183,6 +183,47 @@ def make_superstep(
     return superstep
 
 
+def cached_batch_indices(
+    rng: jax.Array,
+    step: jax.Array,
+    batch: int,
+    num_examples: int,
+    law: str = "shuffle",
+) -> jax.Array:
+    """Example indices of the cached-stream batch at global ``step`` — a
+    pure function of ``(rng, step)``, so the stream is stateless and
+    resume-exact under any chunking.
+
+    ``"shuffle"``: the stream is the concatenation of per-epoch
+    permutations of [0, N) (keyed off ``(rng, epoch)``) read at global
+    example offset ``step * batch`` — every example appears exactly once
+    per epoch. A batch straddling an epoch boundary mixes the tail of one
+    permutation with the head of the next (requires ``batch <= N``).
+    ``"replacement"``: uniform i.i.d. draws keyed off ``(rng, step)``.
+    """
+    step = jnp.asarray(step)
+    if law == "replacement":
+        # Distinct from the train step's internal fold_in(rng, step)
+        # stream: one extra fold with a constant salt.
+        k = jax.random.fold_in(jax.random.fold_in(rng, step), 0x5A17)
+        return jax.random.randint(k, (batch,), 0, num_examples)
+    offset = step * batch
+    pos = offset + jnp.arange(batch, dtype=step.dtype)
+    epoch = pos // num_examples
+    rank = pos % num_examples
+
+    def perm_for(e):
+        k = jax.random.fold_in(jax.random.fold_in(rng, 0x5E0F), e)
+        return jax.random.permutation(k, num_examples)
+
+    e0 = offset // num_examples
+    # At most two epochs appear in one batch (batch <= N): gather from
+    # this epoch's permutation and the next, select by position.
+    return jnp.where(
+        epoch == e0, perm_for(e0)[rank], perm_for(e0 + 1)[rank]
+    )
+
+
 def make_cached_superstep(
     config: Config, stage: int, num_examples: int
 ) -> Callable[[TrainState, jax.Array, jax.Array, jax.Array],
@@ -190,22 +231,35 @@ def make_cached_superstep(
     """Superstep over a DEVICE-RESIDENT dataset: zero host transfer/step.
 
     ``(state, all_waves [N, T], all_pitches [N], alphas [K])`` — each
-    inner step samples its batch uniformly (with replacement) from the
-    cached dataset with a key derived purely from ``(state.rng,
-    state.step)``, so the data stream is stateless: resume at step ``s``
-    replays the identical batches with no iterator state to persist.
+    inner step draws its batch via :func:`cached_batch_indices`, a pure
+    function of ``(state.rng, state.step)``, so the data stream is
+    STATELESS: resume at step ``s`` replays the identical batches with no
+    iterator state to persist. ``config.train.cached_stream`` picks the
+    law: ``"shuffle"`` (per-epoch permutations — reference shuffle-epoch
+    semantics, the default) or ``"replacement"`` (uniform i.i.d., the
+    round-2 behavior, kept for continuations of older runs).
+
     Intended for datasets that fit in HBM (fixtures, subsets); the
-    streaming ingest path covers the rest.
+    streaming ingest path covers the rest. The per-stage batch override
+    (``stage_batch_sizes``) applies — ``stage`` is static per compile.
     """
     step_fn = make_train_step(config, stage)
-    batch = config.train.batch_size
+    batch = config.train.batch_for_stage(stage)
+    law = config.train.cached_stream
+    if law not in ("shuffle", "replacement"):
+        raise ValueError(f"unknown cached_stream {law!r}")
+    if law == "shuffle" and batch > num_examples:
+        # The two-permutation gather covers at most 2 epochs per batch.
+        raise ValueError(
+            f"cached_stream='shuffle' needs batch ({batch}) <= dataset "
+            f"size ({num_examples}); use 'replacement' or a smaller batch"
+        )
 
     def superstep(state, all_waves, all_pitches, alphas):
         def body(s, alpha):
-            # Distinct from step_fn's internal fold_in(rng, step) stream:
-            # one extra fold with a constant salt.
-            k = jax.random.fold_in(jax.random.fold_in(s.rng, s.step), 0x5A17)
-            idx = jax.random.randint(k, (batch,), 0, num_examples)
+            idx = cached_batch_indices(
+                s.rng, s.step, batch, num_examples, law
+            )
             return step_fn(s, all_waves[idx], all_pitches[idx], alpha)
 
         state, metrics = jax.lax.scan(body, state, alphas)

@@ -54,8 +54,15 @@ def save_ema_npz(
     arrays["__step__"] = np.asarray(step, np.int64)
     if stage is not None:
         arrays["__stage__"] = np.asarray(stage, np.int64)
-    with open(path, "wb") as f:
+    # Atomic replace: the loop rewrites this path on every checkpoint, and
+    # restore tools PREFER it when no full checkpoint dir is present — a
+    # crash mid-write must not leave a truncated archive behind.
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as f:
         np.savez_compressed(f, **arrays)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
     return path
 
 

@@ -140,6 +140,12 @@ class TrainConfig:
     """Losses, optimizers, progressive schedule (SURVEY.md §2.5)."""
 
     batch_size: int = 8             # global batch
+    # Per-stage global batch override (SURVEY.md §3.4: "batch size may
+    # shrink at high resolution" [K-med]; §7 hard-part 3). Entry s applies
+    # while training stage s; None = uniform batch_size. Low stages run
+    # far below chip capacity at batch 8, so large early batches shorten
+    # the ladder at identical math per step.
+    stage_batch_sizes: Optional[Tuple[int, ...]] = None
     learning_rate: float = 8e-4     # [K-med] paper/magenta default
     adam_beta1: float = 0.0         # [K-med]
     adam_beta2: float = 0.99        # [K-med]
@@ -165,6 +171,14 @@ class TrainConfig:
     # the difference between host-paced and device-paced training; through
     # this machine's tunneled backend it is essential. 1 = classic loop.
     unroll: int = 1
+    # Sampling law of the HBM-resident (--device-cache) data stream. Both
+    # are stateless in (rng, step) — resume replays identical batches:
+    #   "shuffle":     per-epoch on-device permutation (every example seen
+    #                  exactly once per epoch — the reference family's
+    #                  shuffle-epoch semantics).
+    #   "replacement": uniform i.i.d. draws (the round-2 behavior; ~37% of
+    #                  a 2048-note set unseen in any 2048-draw window).
+    cached_stream: str = "shuffle"
     seed: int = 0
     checkpoint_every: int = 2000
     log_every: int = 100
@@ -173,6 +187,13 @@ class TrainConfig:
     # sampler"). 0 disables.
     sample_every: int = 0
     sample_pitches: Tuple[int, ...] = (36, 60, 84)
+
+    def batch_for_stage(self, stage: int) -> int:
+        """Global batch while training ``stage`` (per-stage override or
+        the uniform ``batch_size``)."""
+        if self.stage_batch_sizes is None:
+            return self.batch_size
+        return int(self.stage_batch_sizes[stage])
 
 
 @dataclasses.dataclass(frozen=True)

@@ -160,6 +160,67 @@ class TestLoop:
         # monotonic; require a clear fraction of that
         assert late < early - 0.15, (early, late)
 
+    def test_per_stage_batches_via_factory(self, tfrecord, tmp_path):
+        """stage_batch_sizes drives per-stage streams: the loop asks the
+        factory for (stage, that stage's batch, steps-into-stage), and a
+        resumed run replays the identical trajectory."""
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            TINY,
+            train=dataclasses.replace(
+                TINY.train, stage_batch_sizes=(8, 2, 2, 2, 2, 2, 2)
+            ),
+        )
+        calls = []
+
+        def factory(stage, batch, skip):
+            calls.append((stage, batch, skip))
+            return make_nsynth_iterator(
+                [tfrecord], cfg, batch_size=batch, acoustic_only=False,
+                seed=100 + stage, skip_batches=skip,
+            )
+
+        losses_full = []
+        train(
+            cfg, None, num_steps=6, data_factory=factory,
+            workdir=str(tmp_path / "full"),
+            on_metrics=lambda s, st, m: losses_full.append(
+                float(np.asarray(m["d_loss"]))
+            ),
+        )
+        # stage 0 entered fresh (batch 8), stage 1 entered at its start
+        assert calls == [(0, 8, 0), (1, 2, 0)]
+
+        calls.clear()
+        workdir = str(tmp_path / "interrupted")
+        train(cfg, None, num_steps=4, data_factory=factory, workdir=workdir)
+        losses_resumed = []
+        train(
+            cfg, None, num_steps=2, data_factory=factory, workdir=workdir,
+            on_metrics=lambda s, st, m: losses_resumed.append(
+                float(np.asarray(m["d_loss"]))
+            ),
+        )
+        # the resumed run re-enters stage 1 one step in
+        assert calls[-1] == (1, 2, 1)
+        np.testing.assert_allclose(
+            losses_resumed, losses_full[4:], rtol=1e-6,
+            err_msg="resumed per-stage stream != uninterrupted stream",
+        )
+
+    def test_stage_batches_need_factory(self, tfrecord):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            TINY,
+            train=dataclasses.replace(
+                TINY.train, stage_batch_sizes=(4,) * 7
+            ),
+        )
+        with pytest.raises(ValueError, match="stage_batch_sizes"):
+            train(cfg, data_iter(tfrecord), num_steps=1)
+
     def test_loop_on_mesh(self, tfrecord):
         state = train(TINY, data_iter(tfrecord, batch=8), num_steps=2,
                       use_mesh=True)
@@ -202,3 +263,40 @@ class TestCLI:
     def test_train_requires_data(self, tmp_path, capsys):
         rc = cli_main(["train", "--model-dir", str(tmp_path / "x")])
         assert rc == 2
+
+    def test_generate_restores_model_flags_from_run(self, tfrecord,
+                                                    tmp_path, capsys):
+        """A run trained with non-default model flags restores for
+        generate WITHOUT repeating them — the persisted train_config.json
+        is the restore template (round-2 advisor finding)."""
+        model_dir = str(tmp_path / "m2")
+        rc = cli_main([
+            "train", "--model-dir", model_dir, "--data", tfrecord,
+            "--synthetic", "--num-steps", "2", "--batch-size", "2",
+            "--latent-dim", "8", "--fmap-base", "64", "--fmap-max", "16",
+            "--fade-steps", "3", "--stable-steps", "3",
+            "--checkpoint-every", "2", "--log-every", "1",
+        ])
+        assert rc == 0
+        out_dir = str(tmp_path / "wavs2")
+        # no --latent-dim/--fmap-* here: they come from train_config.json
+        rc = cli_main([
+            "generate", "--model-dir", model_dir, "--output-dir", out_dir,
+            "--pitches", "60",
+        ])
+        assert rc == 0
+        assert sorted(os.listdir(out_dir)) == ["sample_0_pitch60.wav"]
+
+    def test_cli_stage_batch_sizes(self, tfrecord, tmp_path):
+        model_dir = str(tmp_path / "sbs")
+        rc = cli_main([
+            "train", "--model-dir", model_dir, "--data", tfrecord,
+            "--synthetic", "--num-steps", "4", "--batch-size", "2",
+            "--stage-batch-sizes", "4,2,2,2,2,2,2",
+            "--latent-dim", "8", "--fmap-base", "64", "--fmap-max", "16",
+            "--fade-steps", "3", "--stable-steps", "3",
+            "--checkpoint-every", "4", "--log-every", "1",
+        ])
+        assert rc == 0
+        cfg = json.load(open(os.path.join(model_dir, "train_config.json")))
+        assert cfg["train"]["stage_batch_sizes"] == [4, 2, 2, 2, 2, 2, 2]

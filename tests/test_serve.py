@@ -108,6 +108,7 @@ def test_coalescing_merges_waiting_requests():
         reqs = [_Request([100 + i], [40 + i]) for i in range(3)]
         with service._cond:
             service._queue.extend(reqs)  # enqueue silently, then wake once
+            service._queued_notes += 3
             service._cond.notify()
         for r in reqs:
             assert r.done.wait(timeout=120)
@@ -122,6 +123,122 @@ def test_coalescing_merges_waiting_requests():
     b = run_coalesced()
     np.testing.assert_array_equal(a, b)
     assert a.shape == (3, 64000) and np.isfinite(a).all()
+
+
+def test_backpressure_and_stall_recovery():
+    """The observed failure mode (a wedged device dispatch) fails fast:
+    queued clients get a timeout instead of blocking forever, overflow
+    beyond the queue bound is rejected, and the service recovers once the
+    device un-wedges (late results discarded, fresh requests served)."""
+    import time
+
+    from gansynth_tpu.serve import RequestTimeoutError, ServiceOverloadedError
+
+    state = create_train_state(CFG, seed=0)
+    service = SynthesisService(
+        CFG, state.ema_params, stage=1, max_batch=4,
+        max_queue_notes=4, request_timeout_s=1.0,
+    )
+    gate = threading.Event()
+    real_run = service._run_device
+
+    def stalled(seeds, pitches):  # simulated wedged dispatch
+        assert gate.wait(timeout=120)
+        return real_run(seeds, pitches)
+
+    service._run_device = stalled
+
+    outcome = {}
+
+    def client(name, pitches):
+        try:
+            outcome[name] = service.synthesize(pitches, seed=1)
+        except Exception as e:
+            outcome[name] = e
+
+    ta = threading.Thread(target=client, args=("a", [60] * 4))
+    ta.start()
+    for _ in range(500):  # until A is in flight (inside the device call)
+        if service._in_flight_notes == 4:
+            break
+        time.sleep(0.01)
+    assert service._in_flight_notes == 4
+    tb = threading.Thread(target=client, args=("b", [61] * 4))
+    tb.start()
+    for _ in range(500):  # until B is queued behind the stalled call
+        if service._queued_notes == 4:
+            break
+        time.sleep(0.01)
+    assert service._queued_notes == 4
+    # C overflows the bounded queue -> immediate rejection, not a hang.
+    with pytest.raises(ServiceOverloadedError):
+        service.synthesize([62], seed=2)
+    assert service.requests_rejected == 1
+    # A (in flight) and B (queued) both fail by timeout, not forever.
+    ta.join(timeout=60)
+    tb.join(timeout=60)
+    assert isinstance(outcome["a"], RequestTimeoutError)
+    assert isinstance(outcome["b"], RequestTimeoutError)
+    assert service.requests_timed_out == 2
+    # Un-wedge: A's late result is discarded (client already failed), B's
+    # abandoned request is dropped, and a fresh request is served.
+    gate.set()
+    for _ in range(3000):  # batcher drains A's late result + abandoned B
+        if service._queued_notes == 0 and service._in_flight_notes == 0:
+            break
+        time.sleep(0.01)
+    w = service.synthesize([63], seed=3, timeout_s=120)
+    assert w.shape == (1, 64000) and np.isfinite(w).all()
+    assert service._queued_notes == 0
+
+
+def test_http_429_and_504():
+    """HTTP mapping of the backpressure errors on a live server."""
+    state = create_train_state(CFG, seed=0)
+    service = SynthesisService(
+        CFG, state.ema_params, stage=1, max_batch=4,
+        max_queue_notes=2, request_timeout_s=0.5,
+    )
+    gate = threading.Event()
+    real_run = service._run_device
+    service._run_device = lambda s, p: (gate.wait(120) and None) or real_run(s, p)
+    srv = make_server(service, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # First request goes in flight and stalls -> 504 on timeout.
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post(url + "/synthesize", {"pitches": [60]})
+        assert exc.value.code == 504
+        # Fill the (2-note) queue in the background...
+        t = threading.Thread(
+            target=lambda: client_expect(url, [61, 62], 504))
+        t.start()
+        for _ in range(500):
+            if service._queued_notes == 2:
+                break
+            import time
+            time.sleep(0.01)
+        # ...so the next note overflows -> 429.
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post(url + "/synthesize", {"pitches": [63]})
+        assert exc.value.code == 429
+        with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+            info = json.loads(r.read())
+        assert info["requests_rejected"] >= 1
+        assert info["max_queue_notes"] == 2
+        assert info["determinism"] == "per-rung"
+        t.join(timeout=60)
+    finally:
+        gate.set()
+        srv.shutdown()
+
+
+def client_expect(url, pitches, code):
+    try:
+        post(url + "/synthesize", {"pitches": pitches})
+    except urllib.error.HTTPError as e:
+        assert e.code == code
 
 
 def test_concurrent_clients(server):

@@ -135,6 +135,87 @@ class TestCachedSuperstep:
         assert_states_close(a, b, rtol=2e-5, atol=1e-6)
 
 
+class TestCachedStream:
+    """The two stateless sampling laws of the HBM-resident data stream."""
+
+    def test_shuffle_is_epoch_permutation(self):
+        from gansynth_tpu.train import cached_batch_indices
+
+        rng = jax.random.key(0)
+        n, batch = 16, 8
+        idx = np.concatenate([
+            np.asarray(cached_batch_indices(rng, jnp.int32(s), batch, n))
+            for s in range(6)  # 3 epochs
+        ])
+        for e in range(3):
+            epoch = idx[e * n:(e + 1) * n]
+            assert sorted(epoch) == list(range(n)), (
+                f"epoch {e} is not a permutation: {epoch}"
+            )
+        # epochs reshuffle (astronomically unlikely to collide)
+        assert not np.array_equal(idx[:n], idx[n:2 * n])
+
+    def test_shuffle_epoch_boundary_crossing(self):
+        """A batch that straddles the epoch boundary takes the tail of one
+        permutation and the head of the next."""
+        from gansynth_tpu.train import cached_batch_indices
+
+        rng = jax.random.key(1)
+        n, batch = 8, 5
+        idx = np.concatenate([
+            np.asarray(cached_batch_indices(rng, jnp.int32(s), batch, n))
+            for s in range(8)  # 40 positions = 5 epochs
+        ])
+        for e in range(5):
+            assert sorted(idx[e * n:(e + 1) * n]) == list(range(n))
+
+    def test_replacement_law_differs_and_is_stateless(self):
+        from gansynth_tpu.train import cached_batch_indices
+
+        rng = jax.random.key(0)
+        a = np.asarray(
+            cached_batch_indices(rng, jnp.int32(3), 8, 16, "replacement")
+        )
+        b = np.asarray(
+            cached_batch_indices(rng, jnp.int32(3), 8, 16, "replacement")
+        )
+        np.testing.assert_array_equal(a, b)  # pure in (rng, step)
+        assert a.min() >= 0 and a.max() < 16
+
+    def test_shuffle_requires_batch_le_dataset(self):
+        cfg = dataclasses.replace(
+            CFG, train=dataclasses.replace(CFG.train, batch_size=32)
+        )
+        with pytest.raises(ValueError, match="shuffle"):
+            make_cached_superstep(cfg, STAGE, 16)
+
+    def test_loop_device_dataset_with_per_stage_batches(self):
+        """The cached superstep honors stage_batch_sizes: one compile per
+        stage, each sampling its own batch size, across a live stage
+        boundary."""
+        rng = np.random.default_rng(5)
+        n = 12
+        waves = 0.1 * rng.standard_normal((n, CFG.audio.audio_length))
+        pitches = rng.integers(24, 85, n)
+        cfg = dataclasses.replace(
+            CFG,
+            train=dataclasses.replace(
+                CFG.train,
+                batch_size=4,
+                stage_batch_sizes=(8, 2, 2, 2, 2, 2, 2),
+                fade_steps=2,
+                stable_steps=2,
+                unroll=2,
+            ),
+        )
+        state = train(
+            cfg, None, num_steps=5,
+            device_dataset=(waves.astype(np.float32),
+                            pitches.astype(np.int32)),
+        )
+        assert int(state.step) == 5  # stage 0 (2 steps) + stage 1 (3)
+
+
 class TestDPitchCEOnFake:
     def test_flag_adds_fake_ce_term(self, chunk):
         waves, pitches, alphas = chunk
