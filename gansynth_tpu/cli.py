@@ -465,6 +465,28 @@ def cmd_export_ema(args) -> int:
     return 0
 
 
+def cmd_supervise(args) -> int:
+    """Watchdog-wrapped training (SURVEY.md §5 failure-detection row):
+    run ``train`` as a child process, watch its metrics heartbeat, and
+    restart from the latest checkpoint when the heartbeat stalls (the
+    observed wedged-dispatch failure mode) or the child crashes."""
+    from gansynth_tpu.train.supervisor import Supervisor, model_dir_from_argv
+
+    train_argv = list(args.train_args)
+    if train_argv and train_argv[0] == "--":
+        train_argv = train_argv[1:]
+    model_dir = model_dir_from_argv(train_argv)
+    sup = Supervisor(
+        train_argv,
+        model_dir,
+        min_stall_s=args.stall_timeout,
+        stall_factor=args.stall_factor,
+        startup_grace_s=args.startup_grace,
+        max_restarts=args.max_restarts,
+    )
+    return sup.run()
+
+
 def cmd_fixtures(args) -> int:
     from gansynth_tpu.data import write_synthetic_tfrecords
 
@@ -564,6 +586,27 @@ def main(argv=None) -> int:
     _add_common_train_flags(p)
     p.set_defaults(fn=cmd_export_ema)
 
+    p = sub.add_parser(
+        "supervise",
+        help="watchdog-wrapped training: restart from the latest "
+        "checkpoint when the metrics heartbeat stalls (wedged device "
+        "dispatch) or the child crashes",
+    )
+    p.add_argument("--stall-timeout", type=float, default=300.0,
+                   help="minimum seconds of heartbeat silence that count "
+                   "as a stall (must cover a stage-boundary recompile)")
+    p.add_argument("--stall-factor", type=float, default=8.0,
+                   help="stall limit = max(stall-timeout, factor x median "
+                   "recent heartbeat interval)")
+    p.add_argument("--startup-grace", type=float, default=1800.0,
+                   help="seconds allowed before the FIRST heartbeat "
+                   "(cold-compile window)")
+    p.add_argument("--max-restarts", type=int, default=3)
+    p.add_argument("train_args", nargs=argparse.REMAINDER,
+                   help="arguments forwarded to the train subcommand "
+                   "(must include --model-dir); prefix with --")
+    p.set_defaults(fn=cmd_supervise)
+
     p = sub.add_parser("roundtrip", help="wave -> mel-IF -> wave check")
     p.add_argument("--input", help="16 kHz mono wav (default: synthetic note)")
     p.add_argument("--pitch", type=int, default=60)
@@ -577,6 +620,16 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_fixtures)
 
     args = parser.parse_args(argv)
+    # This machine's sitecustomize force-registers the TPU backend at
+    # interpreter startup, so the JAX_PLATFORMS env var alone cannot
+    # redirect a CLI child process to CPU; honor an explicit override
+    # through the config API (used by the supervisor tests and handy for
+    # CPU smoke runs: GANSYNTH_PLATFORM=cpu).
+    platform = os.environ.get("GANSYNTH_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     from gansynth_tpu.utils.platform import enable_compile_cache
 
     enable_compile_cache()

@@ -20,6 +20,7 @@ barrier.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Dict, Iterator, Optional, Tuple
 
@@ -77,6 +78,20 @@ def _dump_samples(
 def _crossed(prev: int, new: int, every: int) -> bool:
     """True when (prev, new] contains a multiple of ``every``."""
     return every > 0 and new // every > prev // every
+
+
+def _maybe_inject_stall(spec: str, step: int) -> None:
+    """Fault injection for the supervisor's stall-detection test (see
+    train/supervisor.py): ``spec`` is ``"<step>:<flagfile>"`` — hang the
+    loop once ``step`` reaches ``<step>``, unless ``<flagfile>`` already
+    exists (it is created on the way into the hang, so a supervised
+    RESTART runs past it — a transient wedge, like the real one)."""
+    at, flag = spec.split(":", 1)
+    if step >= int(at) and not os.path.exists(flag):
+        with open(flag, "w") as f:
+            f.write(str(step))
+        while True:  # simulated wedged device dispatch: never returns
+            time.sleep(3600)
 
 
 def train(
@@ -217,6 +232,7 @@ def train(
     end = schedule.total_steps() if num_steps is None else start + num_steps
     t_last = time.perf_counter()
     steps_since_log = 0
+    stall_spec = os.environ.get("GANSYNTH_TRAIN_STALL")
 
     def _stage_start(step: int) -> int:
         for _, seg_start, seg_end in schedule.stage_boundaries():
@@ -312,6 +328,8 @@ def train(
             _dump_samples(
                 config, state, get_sampler(stage), new_step, workdir, logger
             )
+        if stall_spec:
+            _maybe_inject_stall(stall_spec, new_step)
         step_idx = new_step
 
     if checkpointer is not None:
