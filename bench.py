@@ -74,9 +74,14 @@ def bench_train(args, jax, jnp) -> dict:
 
     config = Config(
         model=ModelConfig(compute_dtype=args.dtype),
-        train=TrainConfig(batch_size=args.train_batch),
+        train=TrainConfig(batch_size=args.train_batch,
+                          fused_critic=args.fused_critic),
     )
-    stage = config.model.num_stages - 1
+    stage = (
+        config.model.num_stages - 1
+        if args.train_stage < 0
+        else args.train_stage
+    )
     state = create_train_state(config, seed=0)
     rng = np.random.default_rng(0)
     k = args.train_scan_iters
@@ -126,6 +131,8 @@ def bench_train(args, jax, jnp) -> dict:
         "train_steps_per_sec": round(1.0 / per_step, 3),
         "train_examples_per_sec": round(args.train_batch / per_step, 2),
         "train_batch": args.train_batch,
+        "train_stage": stage,
+        "train_fused_critic": args.fused_critic,
         "train_dtype": args.dtype,
         "train_flops_per_step": flops_per_step or None,
         "train_mfu": round(mfu, 4) if mfu is not None else None,
@@ -216,6 +223,14 @@ def main() -> int:
     parser.add_argument("--metric", default="all",
                         choices=["all", "synthesis", "train"])
     parser.add_argument("--train-batch", type=int, default=8)
+    parser.add_argument("--train-stage", type=int, default=-1,
+                        help="ladder stage to bench (-1 = final 128x1024); "
+                        "with --train-batch this measures the per-stage "
+                        "batch schedule (TrainConfig.stage_batch_sizes)")
+    parser.add_argument("--fused-critic", default="none",
+                        choices=["none", "pair", "all"],
+                        help="critic-pass batching experiment (same math; "
+                        "see TrainConfig.fused_critic)")
     parser.add_argument("--train-scan-iters", type=int, default=10,
                         help="train steps fused per timed device program")
     args = parser.parse_args()

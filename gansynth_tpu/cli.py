@@ -50,6 +50,7 @@ def _build_config(args) -> Config:
             getattr(args, "stage_stable_steps", None)
         ),
         unroll=getattr(args, "unroll", 1),
+        fused_critic=getattr(args, "fused_critic", "none"),
         seed=args.seed,
         checkpoint_every=args.checkpoint_every,
         log_every=args.log_every,
@@ -119,6 +120,11 @@ def _add_common_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--unroll", type=int, default=1,
                    help="train steps fused into one device program "
                    "(lax.scan) — amortizes host dispatch")
+    p.add_argument("--fused-critic", default="none",
+                   choices=["none", "pair", "all"],
+                   help="batch the discriminator's critic passes into one "
+                   "vmapped call (pair: real+fake; all: +GP interpolates) "
+                   "— same math, fatter conv batches")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint-every", type=int, default=2000)
     p.add_argument("--log-every", type=int, default=100)
@@ -424,8 +430,13 @@ def cmd_evaluate(args) -> int:
         sample_rate=config.audio.sample_rate,
         seed=args.seed,
         reference_fn=reference_fn,
+        attribution=args.attribution,
     )
     metrics["checkpoint_step"] = step
+    if args.output:
+        with open(args.output, "w") as f:
+            _json.dump(metrics, f, indent=2, sort_keys=True)
+        print(f"wrote {args.output}")
     print(_json.dumps(metrics))
     return 0
 
@@ -554,6 +565,12 @@ def main(argv=None) -> int:
     p.add_argument("--lsd-data", nargs="*", default=None,
                    help="TFRecords of real audio for the log-spectral-"
                    "distance reference (default: synthetic fixture notes)")
+    p.add_argument("--attribution", action="store_true",
+                   help="add the per-note failure-attribution report: "
+                   "95%% CIs, detector-vs-model split, octave direction, "
+                   "per-register and per-pitch tables")
+    p.add_argument("--output", default=None,
+                   help="also write the metrics JSON to this file")
     p.add_argument("--stage", default="auto",
                    help="generator stage to sample at; 'auto' derives the "
                    "trained stage from the checkpoint step + schedule")

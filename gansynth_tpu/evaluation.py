@@ -16,7 +16,7 @@ an objective readout of the property the model is conditioned on:
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
@@ -149,21 +149,264 @@ def pitch_accuracy(
     }
 
 
-def log_spectral_distance(
-    real: np.ndarray, fake: np.ndarray, *, nfft: int = 2048, hop: int = 512
-) -> float:
-    """Mean L2 log-magnitude-spectrogram distance between two batches."""
-    def logmag(batch):
-        batch = np.asarray(batch, np.float64)
-        frames = []
-        window = np.hanning(nfft)
-        for start in range(0, batch.shape[-1] - nfft + 1, hop):
-            seg = batch[..., start : start + nfft] * window
-            frames.append(np.log(np.abs(np.fft.rfft(seg, axis=-1)) + 1e-6))
-        return np.stack(frames, axis=-2)
+def wilson_interval(successes: int, n: int, z: float = 1.96):
+    """95% (default) Wilson score interval for a binomial proportion —
+    the error bar the headline accuracy claims carry (VERDICT r2 weak
+    item 1: n=122 gave ±~3% that the claims ignored)."""
+    if n == 0:
+        return (0.0, 1.0)
+    p = successes / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = (
+        z * np.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n)) / denom
+    )
+    return (float(center - half), float(center + half))
 
-    a, b = logmag(real), logmag(fake)
+
+def pitch_attribution(
+    waves: np.ndarray,
+    pitches: Sequence[int],
+    sample_rate: int = 16000,
+    *,
+    tolerance_semitones: float = 0.5,
+) -> Dict:
+    """Per-note failure attribution for the pitch-fidelity eval.
+
+    The two detectors have OPPOSITE octave-failure modes (harmonic-sum
+    errs toward harmonics, autocorrelation toward subharmonics), so
+    their agreement pattern separates model errors from metric
+    artifacts:
+
+    - one detector fails, the other agrees with the label -> detector
+      artifact (counted per detector);
+    - BOTH fail -> model error, sub-classified by direction: octave_up /
+      octave_down (within 0.6 st of a +/-12k jump) or other.
+
+    Returns aggregate accuracies with 95% Wilson CIs, the attribution
+    counts, a per-register breakdown (low/mid/high thirds of the 24-84
+    range), and a per-pitch table.
+    """
+    waves = np.asarray(waves)
+    target = np.asarray(pitches, np.float64)
+    det_h = np.array([detect_midi_pitch(w, sample_rate) for w in waves])
+    det_a = np.array(
+        [detect_midi_pitch_acf(w, sample_rate) for w in waves]
+    )
+    err_h = np.abs(det_h - target)
+    err_a = np.abs(det_a - target)
+    ok_h = err_h <= tolerance_semitones
+    ok_a = err_a <= tolerance_semitones
+    n = len(target)
+
+    both_fail = ~ok_h & ~ok_a
+    modes = {"octave_up": 0, "octave_down": 0, "other": 0}
+    for i in np.nonzero(both_fail)[0]:
+        # attribute by the detector closer to an exact octave jump
+        best_dir = "other"
+        for det in (det_h[i], det_a[i]):
+            delta = det - target[i]
+            k = round(delta / 12.0)
+            if k != 0 and abs(delta - 12.0 * k) <= 0.6:
+                best_dir = "octave_up" if k > 0 else "octave_down"
+                break
+        modes[best_dir] += 1
+
+    def region(p):
+        if p < 44:
+            return "low_24_43"
+        if p < 64:
+            return "mid_44_63"
+        return "high_64_84"
+
+    by_region: Dict[str, Dict] = {}
+    for i, p in enumerate(target):
+        r = by_region.setdefault(
+            region(p), {"n": 0, "ok_either": 0, "both_fail": 0}
+        )
+        r["n"] += 1
+        r["ok_either"] += int(ok_h[i] or ok_a[i])
+        r["both_fail"] += int(both_fail[i])
+    for r in by_region.values():
+        r["accuracy_either"] = r["ok_either"] / r["n"]
+        r["ci95_either"] = wilson_interval(r["ok_either"], r["n"])
+
+    per_pitch: Dict[int, Dict] = {}
+    for i, p in enumerate(target):
+        row = per_pitch.setdefault(
+            int(p), {"n": 0, "ok_hps": 0, "ok_acf": 0, "ok_either": 0,
+                     "errs": []}
+        )
+        row["n"] += 1
+        row["ok_hps"] += int(ok_h[i])
+        row["ok_acf"] += int(ok_a[i])
+        row["ok_either"] += int(ok_h[i] or ok_a[i])
+        row["errs"].append(float(min(err_h[i], err_a[i])))
+    for row in per_pitch.values():
+        row["median_err_best"] = float(np.median(row.pop("errs")))
+
+    return {
+        "n": n,
+        "tolerance_semitones": tolerance_semitones,
+        "accuracy_hps": float(np.mean(ok_h)),
+        "ci95_hps": wilson_interval(int(ok_h.sum()), n),
+        "accuracy_acf": float(np.mean(ok_a)),
+        "ci95_acf": wilson_interval(int(ok_a.sum()), n),
+        "accuracy_either": float(np.mean(ok_h | ok_a)),
+        "ci95_either": wilson_interval(int((ok_h | ok_a).sum()), n),
+        "failures": {
+            "hps_only": int((~ok_h & ok_a).sum()),
+            "acf_only": int((ok_h & ~ok_a).sum()),
+            "both": int(both_fail.sum()),
+        },
+        "both_failure_modes": modes,
+        "by_region": by_region,
+        "per_pitch": per_pitch,
+    }
+
+
+def _mag_spectrogram(
+    batch: np.ndarray, nfft: int = 2048, hop: int = 512
+) -> np.ndarray:
+    """[..., T] waveforms -> [..., frames, nfft//2+1] linear magnitudes."""
+    batch = np.asarray(batch, np.float64)
+    frames = []
+    window = np.hanning(nfft)
+    for start in range(0, batch.shape[-1] - nfft + 1, hop):
+        seg = batch[..., start : start + nfft] * window
+        frames.append(np.abs(np.fft.rfft(seg, axis=-1)))
+    return np.stack(frames, axis=-2)
+
+
+def _logmag_spectrogram(
+    batch: np.ndarray, nfft: int = 2048, hop: int = 512
+) -> np.ndarray:
+    """[..., T] waveforms -> [..., frames, nfft//2+1] log magnitudes."""
+    return np.log(_mag_spectrogram(batch, nfft, hop) + 1e-6)
+
+
+def log_spectral_distance(
+    real: np.ndarray,
+    fake: np.ndarray,
+    *,
+    nfft: int = 2048,
+    hop: int = 512,
+    floor_db: Optional[float] = None,
+) -> float:
+    """Mean L2 log-magnitude-spectrogram distance between two batches.
+
+    ``floor_db`` (e.g. -60) clips both spectrograms at that level below
+    the pair's common peak before the log. Without it, LSD between a
+    synthetic note with an EXACT-zero background and any audio with a low
+    noise floor is dominated by log-ratio of near-silence — inaudible
+    bins can contribute the bulk of the distance (the round-2 "LSD
+    plateau at ~6.15" — see DESIGN.md §4c). The floored variant measures
+    distance over the audible structure.
+    """
+    ma = _mag_spectrogram(real, nfft, hop)
+    mb = _mag_spectrogram(fake, nfft, hop)
+    if floor_db is not None:
+        floor = 10.0 ** (floor_db / 20.0) * max(ma.max(), mb.max())
+        ma, mb = np.maximum(ma, floor), np.maximum(mb, floor)
+    a, b = np.log(ma + 1e-6), np.log(mb + 1e-6)
     return float(np.mean(np.sqrt(np.mean((a - b) ** 2, axis=-1))))
+
+
+def intra_pitch_diversity(
+    waves: np.ndarray,
+    pitches: Sequence[int],
+    *,
+    nfft: int = 2048,
+    hop: int = 512,
+    floor_db: Optional[float] = None,
+) -> float:
+    """Mean pairwise log-spectral distance among SAME-pitch notes.
+
+    The mode-collapse detector the pitch metrics cannot be (VERDICT r2
+    missing-item 1): a generator that emits one timbre per pitch scores
+    perfectly on pitch accuracy yet ~0 here. Interpret it RELATIVE to the
+    same statistic on a healthy reference set (see
+    :func:`evaluate_sampler`'s ``diversity_ratio``) — absolute LSD units
+    depend on the frontend. Pitches with fewer than 2 samples are
+    skipped; NaN if nothing is comparable.
+    """
+    waves = np.asarray(waves)
+    mags = _mag_spectrogram(waves, nfft, hop)
+    if floor_db is not None:
+        mags = np.maximum(mags, 10.0 ** (floor_db / 20.0) * mags.max())
+    specs = np.log(mags + 1e-6)
+    groups: Dict[int, list] = {}
+    for i, p in enumerate(pitches):
+        groups.setdefault(int(p), []).append(i)
+    dists = []
+    for idxs in groups.values():
+        for a in range(len(idxs)):
+            for b in range(a + 1, len(idxs)):
+                d = specs[idxs[a]] - specs[idxs[b]]
+                dists.append(np.mean(np.sqrt(np.mean(d**2, axis=-1))))
+    return float(np.mean(dists)) if dists else float("nan")
+
+
+def melspec_features(
+    waves: np.ndarray,
+    sample_rate: int = 16000,
+    *,
+    nfft: int = 2048,
+    hop: int = 512,
+    num_bands: int = 64,
+) -> np.ndarray:
+    """Per-note embedding for distribution metrics: [B, 2 * num_bands].
+
+    Log-mel spectrogram (the same triangular HTK filterbank as the
+    model's frontend, pooled to ``num_bands`` bands), summarized as the
+    per-band time-mean and time-std — timbre (spectral envelope) and its
+    temporal variability. Model-free and deterministic, so the Fréchet
+    distance over it is comparable across checkpoints and runs (the role
+    FAD's VGGish embedding plays upstream, without a pretrained-network
+    dependency this machine cannot ship).
+    """
+    from gansynth_tpu.ops.mel import linear_to_mel_matrix
+
+    spec = np.exp(
+        _logmag_spectrogram(np.asarray(waves), nfft, hop)
+    )  # magnitudes [B, F, nfft//2+1]
+    mel = linear_to_mel_matrix(
+        num_mel_bins=num_bands,
+        num_spectrogram_bins=nfft // 2 + 1,
+        sample_rate=sample_rate,
+        dtype=np.float64,
+    )
+    logmel = np.log(spec @ mel + 1e-6)  # [B, frames, num_bands]
+    return np.concatenate(
+        [logmel.mean(axis=1), logmel.std(axis=1)], axis=-1
+    ).astype(np.float64)
+
+
+def frechet_distance(
+    feats_a: np.ndarray, feats_b: np.ndarray, *, eps: float = 1e-6
+) -> float:
+    """Fréchet (2-Wasserstein-between-Gaussians) distance between two
+    feature sets: ``|mu_a - mu_b|^2 + tr(Ca + Cb - 2 sqrt(Ca Cb))``.
+
+    The FID/FAD formula; ``tr sqrt(Ca Cb)`` is computed from the
+    eigenvalues of ``Ca @ Cb`` (real and non-negative for PSD inputs up
+    to round-off, which the clip absorbs). ``eps`` regularizes
+    rank-deficient covariances (n_samples < dim).
+    """
+    a = np.asarray(feats_a, np.float64)
+    b = np.asarray(feats_b, np.float64)
+    if a.ndim != 2 or b.ndim != 2 or a.shape[1] != b.shape[1]:
+        raise ValueError(f"need [N, D] feature sets, got {a.shape}, {b.shape}")
+    mu_a, mu_b = a.mean(axis=0), b.mean(axis=0)
+    d = a.shape[1]
+    ca = np.cov(a, rowvar=False) + eps * np.eye(d)
+    cb = np.cov(b, rowvar=False) + eps * np.eye(d)
+    ev = np.linalg.eigvals(ca @ cb)
+    tr_sqrt = float(np.sqrt(np.clip(ev.real, 0.0, None)).sum())
+    return float(
+        np.sum((mu_a - mu_b) ** 2) + np.trace(ca) + np.trace(cb)
+        - 2.0 * tr_sqrt
+    )
 
 
 def evaluate_sampler(
@@ -174,14 +417,23 @@ def evaluate_sampler(
     sample_rate: int = 16000,
     seed: int = 0,
     reference_fn=None,
+    attribution: bool = False,
 ) -> Dict[str, float]:
     """Sample the generator across ``pitches`` and score pitch fidelity.
 
     ``reference_fn(pitch, index) -> waveform`` supplies held-out real (or
-    fixture) audio per conditioned pitch; when given, the mean
-    log-spectral distance between the generated batch and the pitch-
-    matched references is reported (the coarse real-vs-generated
-    distributional readout alongside the pitch metrics).
+    fixture) audio per conditioned pitch; when given, three
+    distributional readouts join the pitch metrics:
+
+    - ``log_spectral_distance``: mean LSD against the pitch-matched
+      references (coarse per-note fidelity);
+    - ``intra_pitch_diversity`` / ``..._ref`` / ``diversity_ratio``:
+      mean pairwise same-pitch LSD of the generated set vs the reference
+      set's own — ratio ~0 flags mode collapse, ~1 matches the
+      reference's within-pitch variability (needs samples_per_pitch>=2);
+    - ``frechet_mel``: Fréchet distance between generated and reference
+      sets over :func:`melspec_features` embeddings (the FAD-analog
+      whole-distribution readout).
     """
     import jax
 
@@ -196,11 +448,50 @@ def evaluate_sampler(
     metrics = pitch_accuracy(waves, all_pitches, sample_rate)
     metrics["rms"] = float(np.sqrt(np.mean(waves**2)))
     metrics["num_samples"] = float(waves.shape[0])
+    if attribution:
+        metrics["attribution"] = pitch_attribution(
+            waves, all_pitches, sample_rate
+        )
+    if samples_per_pitch >= 2:
+        metrics["intra_pitch_diversity"] = intra_pitch_diversity(
+            waves, all_pitches
+        )
+        metrics["intra_pitch_diversity_60db"] = intra_pitch_diversity(
+            waves, all_pitches, floor_db=-60.0
+        )
     if reference_fn is not None:
         refs = np.stack(
             [reference_fn(int(p), i) for i, p in enumerate(all_pitches)]
         )
         metrics["log_spectral_distance"] = log_spectral_distance(refs, waves)
+        # The -60 dB-floored variant measures distance over AUDIBLE
+        # structure; the gap between the two quantifies how much of the
+        # raw LSD is silence-floor log-ratio (DESIGN.md §4c).
+        metrics["log_spectral_distance_60db"] = log_spectral_distance(
+            refs, waves, floor_db=-60.0
+        )
+        metrics["frechet_mel"] = frechet_distance(
+            melspec_features(waves, sample_rate),
+            melspec_features(refs, sample_rate),
+        )
+        if len(refs) >= 4:
+            # Noise floor of the Fréchet readout: distance between two
+            # disjoint halves of the reference set itself (what "same
+            # distribution" scores at this sample count).
+            ref_feats = melspec_features(refs, sample_rate)
+            metrics["frechet_mel_ref_floor"] = frechet_distance(
+                ref_feats[0::2], ref_feats[1::2]
+            )
+        if samples_per_pitch >= 2:
+            for suffix, floor in (("", None), ("_60db", -60.0)):
+                ref_div = intra_pitch_diversity(
+                    refs, all_pitches, floor_db=floor
+                )
+                metrics[f"intra_pitch_diversity_ref{suffix}"] = ref_div
+                if ref_div and np.isfinite(ref_div):
+                    metrics[f"diversity_ratio{suffix}"] = (
+                        metrics[f"intra_pitch_diversity{suffix}"] / ref_div
+                    )
     return metrics
 
 

@@ -20,6 +20,22 @@ def wgan_critic_loss(critic_real: jax.Array, critic_fake: jax.Array) -> jax.Arra
     return jnp.mean(critic_fake) - jnp.mean(critic_real)
 
 
+def interpolate(
+    real: jax.Array, fake: jax.Array, key: jax.Array
+) -> jax.Array:
+    """Per-sample uniform interpolates x_hat = real + u (fake - real)."""
+    u = jax.random.uniform(key, (real.shape[0],) + (1,) * (real.ndim - 1))
+    return real + u * (fake - real)
+
+
+def penalty_from_grads(grads: jax.Array) -> jax.Array:
+    """E[(||g||_2 - 1)^2] over per-sample gradient norms."""
+    norms = jnp.sqrt(
+        jnp.sum(jnp.square(grads), axis=tuple(range(1, grads.ndim))) + 1e-12
+    )
+    return jnp.mean(jnp.square(norms - 1.0))
+
+
 def gradient_penalty(
     critic_fn: Callable[[jax.Array], Tuple[jax.Array, jax.Array]],
     real: jax.Array,
@@ -34,11 +50,9 @@ def gradient_penalty(
     minibatch-stddev. Differentiating the result w.r.t. critic params is a
     second-order gradient; JAX composes it mechanically.
     """
-    u = jax.random.uniform(key, (real.shape[0],) + (1,) * (real.ndim - 1))
-    interp = real + u * (fake - real)
+    interp = interpolate(real, fake, key)
     grads = jax.grad(lambda x: jnp.sum(critic_fn(x)[0]))(interp)
-    norms = jnp.sqrt(jnp.sum(jnp.square(grads), axis=tuple(range(1, grads.ndim))) + 1e-12)
-    return jnp.mean(jnp.square(norms - 1.0))
+    return penalty_from_grads(grads)
 
 
 def drift_penalty(critic_real: jax.Array) -> jax.Array:

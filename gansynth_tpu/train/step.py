@@ -60,6 +60,8 @@ def make_train_step(
     ``jax.jit(step, donate_argnums=0)``; shard inputs for data parallelism.
     """
     m, t = config.model, config.train
+    if t.fused_critic not in ("none", "pair", "all"):
+        raise ValueError(f"unknown fused_critic {t.fused_critic!r}")
     g = Generator(m)
     d = Discriminator(m)
     opt = make_optimizer(config)
@@ -88,10 +90,35 @@ def make_train_step(
             def critic_fn(x):
                 return d.apply(d_params, x, stage, alpha)
 
-            c_real, logits_real = critic_fn(real)
-            c_fake, logits_fake = critic_fn(fake)
+            # The three critic passes, scheduled per t.fused_critic.
+            # vmap over a stacked leading axis keeps minibatch-stddev
+            # grouping per sub-batch (bitwise-equivalent statistics)
+            # while presenting XLA with one fatter conv batch.
+            if t.fused_critic == "pair":
+                c2, l2 = jax.vmap(critic_fn)(jnp.stack([real, fake]))
+                c_real, c_fake = c2[0], c2[1]
+                logits_real, logits_fake = l2[0], l2[1]
+                gp = losses.gradient_penalty(critic_fn, real, fake, k_interp)
+            elif t.fused_critic == "all":
+                interp = losses.interpolate(real, fake, k_interp)
+
+                def scores_from_interp(x_interp):
+                    c3, l3 = jax.vmap(critic_fn)(
+                        jnp.stack([real, fake, x_interp])
+                    )
+                    return jnp.sum(c3[2]), (c3, l3)
+
+                (_, (c3, l3)), gp_grads = jax.value_and_grad(
+                    scores_from_interp, has_aux=True
+                )(interp)
+                c_real, c_fake = c3[0], c3[1]
+                logits_real, logits_fake = l3[0], l3[1]
+                gp = losses.penalty_from_grads(gp_grads)
+            else:
+                c_real, logits_real = critic_fn(real)
+                c_fake, logits_fake = critic_fn(fake)
+                gp = losses.gradient_penalty(critic_fn, real, fake, k_interp)
             wgan = losses.wgan_critic_loss(c_real, c_fake)
-            gp = losses.gradient_penalty(critic_fn, real, fake, k_interp)
             drift = losses.drift_penalty(c_real)
             ce = losses.pitch_cross_entropy(logits_real, labels)
             # SURVEY.md DS2: the AC-GAN pitch head trains on real AND fake

@@ -158,6 +158,16 @@ class TrainConfig:
     # False restores the real-only variant (documented in PARITY.md).
     d_pitch_ce_on_fake: bool = True
     ema_decay: float = 0.999        # [K-med]
+    # How the discriminator update evaluates its critic passes (a pure
+    # scheduling choice — same math to float tolerance, tested):
+    #   "none": three separate d.apply calls (real / fake / GP interp).
+    #   "pair": real+fake stacked and vmapped through ONE call — convs see
+    #           a 2B batch (better MXU lane fill at the wide stages);
+    #           minibatch-stddev stats stay per-sub-batch under vmap.
+    #   "all":  real+fake+interp stacked (3B convs); the gradient penalty
+    #           differentiates through the stacked program (pays a 3B
+    #           backward-to-input instead of B).
+    fused_critic: str = "none"
     # Progressive schedule: each stage > 0 fades in over `fade_steps`, then
     # stabilizes for `stable_steps`. Stage 0 has no fade. The per-stage
     # tuples override the scalars stage-by-stage when set (compressed

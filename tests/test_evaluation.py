@@ -93,6 +93,168 @@ class TestLogSpectralDistance:
         c = synthesize_note(84, seed=3)[None]   # different pitch
         assert log_spectral_distance(a, b) < log_spectral_distance(a, c)
 
+    def test_floor_discounts_silence_mismatch(self):
+        """Raw LSD between a clean note and the same note plus an
+        inaudible noise floor is dominated by silent-bin log-ratios; the
+        -60 dB-floored variant is not (the round-2 'LSD plateau'
+        mechanism, quantified in DESIGN.md §4c)."""
+        rng = np.random.default_rng(0)
+        clean = synthesize_note(60, seed=1)[None]
+        noisy = clean + 1e-4 * rng.standard_normal(clean.shape)
+        raw = log_spectral_distance(clean, noisy)
+        floored = log_spectral_distance(clean, noisy, floor_db=-60.0)
+        assert raw > 10 * floored, (raw, floored)
+        assert floored < 0.1, floored
+        # identical inputs still score ~0 under the floor
+        assert log_spectral_distance(clean, clean, floor_db=-60.0) == 0.0
+        # ...and the floor preserves ordering on audible differences
+        b = synthesize_note(60, seed=2)[None]
+        c = synthesize_note(84, seed=3)[None]
+        assert (
+            log_spectral_distance(clean, b, floor_db=-60.0)
+            < log_spectral_distance(clean, c, floor_db=-60.0)
+        )
+
+
+class TestAttribution:
+    def test_wilson_interval(self):
+        from gansynth_tpu.evaluation import wilson_interval
+
+        lo, hi = wilson_interval(88, 100)
+        assert lo < 0.88 < hi
+        assert hi - lo < 0.15
+        lo2, hi2 = wilson_interval(880, 1000)
+        assert hi2 - lo2 < hi - lo  # more samples -> tighter
+        assert wilson_interval(0, 0) == (0.0, 1.0)
+
+    def test_attribution_classifies_failures(self):
+        from gansynth_tpu.evaluation import pitch_attribution
+
+        # 3 clean notes + 1 note LABELED an octave below what it is:
+        # both detectors find the true pitch -> a both-fail octave_up.
+        waves = np.stack([
+            synthesize_note(48, seed=1),
+            synthesize_note(60, seed=2),
+            synthesize_note(72, seed=3),
+            synthesize_note(72, seed=4),
+        ])
+        rep = pitch_attribution(waves, [48, 60, 72, 60])
+        assert rep["n"] == 4
+        assert rep["accuracy_either"] == 0.75
+        lo, hi = rep["ci95_either"]
+        assert lo < 0.75 < hi
+        assert rep["failures"]["both"] == 1
+        assert rep["both_failure_modes"]["octave_up"] == 1
+        assert rep["by_region"]["mid_44_63"]["both_fail"] == 1
+        assert rep["per_pitch"][48]["ok_either"] == 1
+        assert rep["per_pitch"][60]["ok_either"] == 1  # of n=2
+
+    def test_evaluate_sampler_attribution_flag(self):
+        def oracle(key, pitches):
+            waves = np.stack([
+                synthesize_note(int(p), seed=int(p)) for p in pitches
+            ])
+            return jnp.asarray(waves), None
+
+        m = evaluate_sampler(
+            oracle, pitches=[40, 60], samples_per_pitch=1,
+            attribution=True,
+        )
+        assert m["attribution"]["n"] == 2
+        assert m["attribution"]["accuracy_either"] == 1.0
+
+
+class TestDistributionMetrics:
+    """Mode-collapse / distribution-quality readouts (VERDICT r2 item 1):
+    pitch metrics measure conditioning obedience only; these measure
+    within-pitch variability and whole-distribution match."""
+
+    def test_diversity_zero_for_collapsed_positive_for_varied(self):
+        from gansynth_tpu.evaluation import intra_pitch_diversity
+
+        collapsed = np.stack([
+            synthesize_note(60), synthesize_note(60),
+            synthesize_note(72), synthesize_note(72),
+        ])
+        assert intra_pitch_diversity(collapsed, [60, 60, 72, 72]) == 0.0
+
+        varied = np.stack([
+            synthesize_note(60, seed=1), synthesize_note(60, seed=2),
+            synthesize_note(72, seed=3), synthesize_note(72, seed=4),
+        ])
+        d = intra_pitch_diversity(varied, [60, 60, 72, 72])
+        assert d > 0.1
+
+        # singleton pitches contribute no pairs -> NaN, not a crash
+        assert np.isnan(intra_pitch_diversity(varied, [60, 61, 72, 73]))
+
+    def test_melspec_features(self):
+        from gansynth_tpu.evaluation import melspec_features
+
+        waves = np.stack([
+            synthesize_note(60, seed=1), synthesize_note(72, seed=2)
+        ])
+        f = melspec_features(waves, num_bands=32)
+        assert f.shape == (2, 64)
+        assert np.isfinite(f).all()
+        # different timbres land at different embeddings
+        assert np.abs(f[0] - f[1]).max() > 0.1
+
+    def test_frechet_orders_distributions(self):
+        from gansynth_tpu.evaluation import frechet_distance, melspec_features
+
+        def note_set(pitches, seed0):
+            return np.stack([
+                synthesize_note(p, seed=seed0 + i,
+                                num_harmonics=2 + (seed0 + i) % 5)
+                for i, p in enumerate(pitches)
+            ])
+
+        mid = [48, 52, 56, 60, 64, 68, 72, 76] * 2
+        low = [24, 26, 28, 30, 32, 34, 36, 38] * 2
+        fa = melspec_features(note_set(mid, 0), num_bands=32)
+        fb = melspec_features(note_set(mid, 100), num_bands=32)  # same dist
+        fc = melspec_features(note_set(low, 200), num_bands=32)  # shifted
+        assert abs(frechet_distance(fa, fa)) < 1e-3  # identical sets ~ 0
+        assert frechet_distance(fa, fb) < frechet_distance(fa, fc)
+
+    def test_evaluate_sampler_reports_distribution_metrics(self):
+        from gansynth_tpu.evaluation import fixture_reference_fn
+
+        calls = [0]
+
+        def varied_sampler(key, pitches):
+            calls[0] += 1
+            waves = np.stack([
+                synthesize_note(int(p), seed=1000 + 31 * calls[0] + i)
+                for i, p in enumerate(pitches)
+            ])
+            return jnp.asarray(waves), None
+
+        def collapsed_sampler(key, pitches):
+            waves = np.stack([synthesize_note(int(p)) for p in pitches])
+            return jnp.asarray(waves), None
+
+        ref = fixture_reference_fn()
+        m = evaluate_sampler(
+            varied_sampler, pitches=[48, 60], samples_per_pitch=3,
+            reference_fn=ref,
+        )
+        assert np.isfinite(m["frechet_mel"])
+        assert m["intra_pitch_diversity"] > 0.1
+        assert np.isfinite(m["intra_pitch_diversity_ref"])
+        assert m["diversity_ratio"] > 0.2
+
+        m_c = evaluate_sampler(
+            collapsed_sampler, pitches=[48, 60], samples_per_pitch=3,
+            reference_fn=ref,
+        )
+        assert m_c["intra_pitch_diversity"] == 0.0
+        assert m_c["diversity_ratio"] == 0.0
+        # the collapsed generator is indistinguishable on pitch metrics
+        # but flagged by the diversity ratio
+        assert m_c["pitch_accuracy"] == 1.0
+
 
 class TestEvaluateSampler:
     def test_harness_on_oracle_sampler(self):

@@ -135,6 +135,39 @@ class TestCachedSuperstep:
         assert_states_close(a, b, rtol=2e-5, atol=1e-6)
 
 
+class TestFusedCritic:
+    """fused_critic is a SCHEDULING choice: pair/all must compute the
+    same update as the three-call baseline to float tolerance (vmap over
+    the stacked sub-batches keeps minibatch-stddev groups intact)."""
+
+    @pytest.mark.parametrize("mode", ["pair", "all"])
+    def test_equivalent_to_baseline(self, mode, chunk):
+        waves, pitches, alphas = chunk
+        state = create_train_state(CFG, seed=0)
+        cfg_fused = dataclasses.replace(
+            CFG, train=dataclasses.replace(CFG.train, fused_critic=mode)
+        )
+        base_state, base_m = jax.jit(make_train_step(CFG, STAGE))(
+            state, waves[0], pitches[0], jnp.float32(1.0)
+        )
+        fused_state, fused_m = jax.jit(make_train_step(cfg_fused, STAGE))(
+            state, waves[0], pitches[0], jnp.float32(1.0)
+        )
+        for k in base_m:
+            np.testing.assert_allclose(
+                np.asarray(base_m[k]), np.asarray(fused_m[k]),
+                rtol=2e-4, atol=1e-5, err_msg=f"{mode}: metric {k}",
+            )
+        assert_states_close(base_state, fused_state, rtol=2e-4, atol=1e-6)
+
+    def test_unknown_mode_rejected(self):
+        cfg = dataclasses.replace(
+            CFG, train=dataclasses.replace(CFG.train, fused_critic="bogus")
+        )
+        with pytest.raises(ValueError, match="fused_critic"):
+            make_train_step(cfg, STAGE)
+
+
 class TestCachedStream:
     """The two stateless sampling laws of the HBM-resident data stream."""
 
