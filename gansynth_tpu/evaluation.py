@@ -354,6 +354,7 @@ def melspec_features(
     nfft: int = 2048,
     hop: int = 512,
     num_bands: int = 64,
+    floor_db: Optional[float] = None,
 ) -> np.ndarray:
     """Per-note embedding for distribution metrics: [B, 2 * num_bands].
 
@@ -364,19 +365,28 @@ def melspec_features(
     distance over it is comparable across checkpoints and runs (the role
     FAD's VGGish embedding plays upstream, without a pretrained-network
     dependency this machine cannot ship).
+
+    ``floor_db`` clips the mel magnitudes at that level below the SET's
+    peak before the log — without it the embedding means carry each
+    set's silence floor, and the Fréchet distance between a zero-
+    background fixture set and generated audio is dominated by that
+    inaudible offset (same mechanism as LSD's floor, DESIGN.md §4c).
     """
     from gansynth_tpu.ops.mel import linear_to_mel_matrix
 
-    spec = np.exp(
-        _logmag_spectrogram(np.asarray(waves), nfft, hop)
-    )  # magnitudes [B, F, nfft//2+1]
+    spec = _mag_spectrogram(np.asarray(waves), nfft, hop)
     mel = linear_to_mel_matrix(
         num_mel_bins=num_bands,
         num_spectrogram_bins=nfft // 2 + 1,
         sample_rate=sample_rate,
         dtype=np.float64,
     )
-    logmel = np.log(spec @ mel + 1e-6)  # [B, frames, num_bands]
+    melmag = spec @ mel  # [B, frames, num_bands]
+    if floor_db is not None:
+        melmag = np.maximum(
+            melmag, 10.0 ** (floor_db / 20.0) * melmag.max()
+        )
+    logmel = np.log(melmag + 1e-6)
     return np.concatenate(
         [logmel.mean(axis=1), logmel.std(axis=1)], axis=-1
     ).astype(np.float64)
@@ -474,6 +484,14 @@ def evaluate_sampler(
             melspec_features(waves, sample_rate),
             melspec_features(refs, sample_rate),
         )
+        # -60 dB-floored embeddings: distance over audible structure
+        # (the raw variant is dominated by the silence-floor offset
+        # between exact-zero-background fixtures and generated audio).
+        gen_feats_f = melspec_features(waves, sample_rate, floor_db=-60.0)
+        ref_feats_f = melspec_features(refs, sample_rate, floor_db=-60.0)
+        metrics["frechet_mel_60db"] = frechet_distance(
+            gen_feats_f, ref_feats_f
+        )
         if len(refs) >= 4:
             # Noise floor of the Fréchet readout: distance between two
             # disjoint halves of the reference set itself (what "same
@@ -481,6 +499,9 @@ def evaluate_sampler(
             ref_feats = melspec_features(refs, sample_rate)
             metrics["frechet_mel_ref_floor"] = frechet_distance(
                 ref_feats[0::2], ref_feats[1::2]
+            )
+            metrics["frechet_mel_60db_ref_floor"] = frechet_distance(
+                ref_feats_f[0::2], ref_feats_f[1::2]
             )
         if samples_per_pitch >= 2:
             for suffix, floor in (("", None), ("_60db", -60.0)):

@@ -218,6 +218,27 @@ class TestDistributionMetrics:
         assert abs(frechet_distance(fa, fa)) < 1e-3  # identical sets ~ 0
         assert frechet_distance(fa, fb) < frechet_distance(fa, fc)
 
+    def test_frechet_floor_discounts_silence_offset(self):
+        """An inaudible noise floor shifts the raw embedding means of
+        every silent mel band; the floored embedding ignores it (the
+        frechet_mel=1856 vs ref-floor=0.12 anomaly in the r2 full eval,
+        DESIGN.md §4c)."""
+        from gansynth_tpu.evaluation import frechet_distance, melspec_features
+
+        rng = np.random.default_rng(1)
+        notes = np.stack([
+            synthesize_note(40 + 3 * i, seed=i) for i in range(8)
+        ])
+        noisy = notes + 1e-4 * rng.standard_normal(notes.shape)
+        raw = frechet_distance(
+            melspec_features(notes), melspec_features(noisy)
+        )
+        floored = frechet_distance(
+            melspec_features(notes, floor_db=-60.0),
+            melspec_features(noisy, floor_db=-60.0),
+        )
+        assert raw > 5 * max(floored, 1e-9), (raw, floored)
+
     def test_evaluate_sampler_reports_distribution_metrics(self):
         from gansynth_tpu.evaluation import fixture_reference_fn
 
