@@ -73,7 +73,8 @@ def bench_train(args, jax, jnp) -> dict:
     from gansynth_tpu.utils.config import Config, ModelConfig, TrainConfig
 
     config = Config(
-        model=ModelConfig(compute_dtype=args.dtype),
+        model=ModelConfig(compute_dtype=args.dtype,
+                          conv_kernel=args.conv_kernel),
         train=TrainConfig(batch_size=args.train_batch,
                           fused_critic=args.fused_critic),
     )
@@ -133,6 +134,7 @@ def bench_train(args, jax, jnp) -> dict:
         "train_batch": args.train_batch,
         "train_stage": stage,
         "train_fused_critic": args.fused_critic,
+        "train_conv_kernel": args.conv_kernel,
         "train_dtype": args.dtype,
         "train_flops_per_step": flops_per_step or None,
         "train_mfu": round(mfu, 4) if mfu is not None else None,
@@ -233,6 +235,10 @@ def main() -> int:
                         "see TrainConfig.fused_critic)")
     parser.add_argument("--train-scan-iters", type=int, default=10,
                         help="train steps fused per timed device program")
+    parser.add_argument("--conv-kernel", default="xla",
+                        choices=["xla", "pallas"],
+                        help="3x3 trunk conv lowering for the train bench "
+                        "(ModelConfig.conv_kernel; pallas = VMEM-im2col)")
     args = parser.parse_args()
 
     import jax

@@ -51,6 +51,7 @@ def _build_config(args) -> Config:
         ),
         unroll=getattr(args, "unroll", 1),
         fused_critic=getattr(args, "fused_critic", "none"),
+        pitch_consistency_weight=getattr(args, "pitch_consistency", 0.0),
         seed=args.seed,
         checkpoint_every=args.checkpoint_every,
         log_every=args.log_every,
@@ -125,6 +126,12 @@ def _add_common_train_flags(p: argparse.ArgumentParser) -> None:
                    help="batch the discriminator's critic passes into one "
                    "vmapped call (pair: real+fake; all: +GP interpolates) "
                    "— same math, fatter conv batches")
+    p.add_argument("--pitch-consistency", type=float, default=0.0,
+                   help="weight of the generator-side harmonic-template "
+                   "pitch CE (ops/harmonic.py) — a parameter-free "
+                   "classifier the generator cannot watermark, closing "
+                   "the AC-GAN label-swap channel; 0 = off (reference "
+                   "parity)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint-every", type=int, default=2000)
     p.add_argument("--log-every", type=int, default=100)

@@ -41,12 +41,13 @@ class DiscriminatorBlock(nn.Module):
     out_features: int   # width of conv1 (next-lower stage's width)
     lrelu_slope: float = 0.2
     compute_dtype: str = "float32"
+    conv_kernel: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = leaky_relu(
             EqualizedConv(self.features, compute_dtype=self.compute_dtype,
-                          name="conv0")(x),
+                          conv_kernel=self.conv_kernel, name="conv0")(x),
             self.lrelu_slope,
         )
         # Not fused with the pool: the reference family applies LeakyReLU
@@ -54,7 +55,7 @@ class DiscriminatorBlock(nn.Module):
         # fuses the lrelu+avgpool pair into one kernel anyway.
         x = leaky_relu(
             EqualizedConv(self.out_features, compute_dtype=self.compute_dtype,
-                          name="conv1")(x),
+                          conv_kernel=self.conv_kernel, name="conv1")(x),
             self.lrelu_slope,
         )
         return downsample_avg(x, 2)
@@ -97,6 +98,7 @@ class Discriminator(nn.Module):
                 cfg.stage_channels(i - 1),
                 lrelu_slope=cfg.leaky_relu_slope,
                 compute_dtype=cfg.compute_dtype,
+                conv_kernel=cfg.conv_kernel,
                 name=f"block_{i}",
             )
             if i <= stage:

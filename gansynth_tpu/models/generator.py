@@ -39,20 +39,23 @@ class GeneratorBlock(nn.Module):
     lrelu_slope: float = 0.2
     pn_eps: float = 1e-8
     compute_dtype: str = "float32"
+    conv_kernel: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.upsample:
             # Fused upsample+conv: same math as upsample_nearest -> conv,
-            # same "conv0" param shapes, one HBM round trip fewer.
+            # same "conv0" param shapes, one HBM round trip fewer. (Stays
+            # on the XLA lowering — the smeared 4x4 input-dilated conv is
+            # outside the Pallas kernel's 3x3 stride-1 shape contract.)
             x = EqualizedUpConv(self.features, compute_dtype=self.compute_dtype,
                                 name="conv0")(x)
         else:
             x = EqualizedConv(self.features, compute_dtype=self.compute_dtype,
-                              name="conv0")(x)
+                              conv_kernel=self.conv_kernel, name="conv0")(x)
         x = pixel_norm(leaky_relu(x, self.lrelu_slope), self.pn_eps)
         x = EqualizedConv(self.features, compute_dtype=self.compute_dtype,
-                          name="conv1")(x)
+                          conv_kernel=self.conv_kernel, name="conv1")(x)
         x = pixel_norm(leaky_relu(x, self.lrelu_slope), self.pn_eps)
         return x
 
@@ -99,6 +102,7 @@ class Generator(nn.Module):
                 lrelu_slope=cfg.leaky_relu_slope,
                 pn_eps=cfg.pixelnorm_eps,
                 compute_dtype=cfg.compute_dtype,
+                conv_kernel=cfg.conv_kernel,
                 name=f"block_{i}",
             )
             if i <= stage:

@@ -66,6 +66,19 @@ class EqualizedConv(nn.Module):
     """3x3 (or 1x1) conv with runtime He scaling (N1). NHWC, SAME padding.
 
     Same mixed-precision contract as :class:`EqualizedDense`.
+
+    Lowerings (all equality-tested against the ``lax.conv_general_dilated``
+    literal form):
+
+    - 1x1 convs with a tiny fan-in (the 2-channel fromRGB heads) always
+      lower to a broadcast multiply-add — a fused VPU elementwise pass.
+      The conv HLO puts the 2-deep contraction on the MXU at 2/128 lane
+      fill, and the profile showed it costing 5.3 ms/step at stage 6.
+    - ``conv_kernel="pallas"`` lowers eligible 3x3 convs (128/256-channel
+      stages) through the VMEM row-band Pallas kernel
+      (kernels/pallas_conv.py). Measured SLOWER than the conv HLO in
+      isolation (DESIGN.md §2c) — kept as an exercised alternative
+      lowering, default stays "xla".
     """
 
     features: int
@@ -73,6 +86,7 @@ class EqualizedConv(nn.Module):
     gain: float = np.sqrt(2.0)
     use_bias: bool = True
     compute_dtype: str = "float32"
+    conv_kernel: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -84,18 +98,38 @@ class EqualizedConv(nn.Module):
             (kh, kw, x.shape[-1], self.features),
         )
         cdt = jnp.dtype(self.compute_dtype)
-        y = jax.lax.conv_general_dilated(
-            x.astype(cdt),
-            (kernel * he_scale(fan_in, self.gain)).astype(cdt),
-            window_strides=(1, 1),
-            padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=cdt,
-        )
+        scaled = (kernel * he_scale(fan_in, self.gain)).astype(cdt)
+        xc = x.astype(cdt)
+        if (kh, kw) == (1, 1) and x.shape[-1] <= 4:
+            y = sum(
+                xc[..., i:i + 1] * scaled[0, 0, i]
+                for i in range(x.shape[-1])
+            )
+        elif self.conv_kernel == "pallas" and _pallas_conv_ok(
+            x.shape, (kh, kw, x.shape[-1], self.features)
+        ):
+            from gansynth_tpu.kernels.pallas_conv import conv3x3_same
+
+            y = conv3x3_same(xc, scaled)
+        else:
+            y = jax.lax.conv_general_dilated(
+                xc,
+                scaled,
+                window_strides=(1, 1),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=cdt,
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(cdt)
         return y
+
+
+def _pallas_conv_ok(x_shape, kernel_shape) -> bool:
+    from gansynth_tpu.kernels.pallas_conv import conv3x3_eligible
+
+    return conv3x3_eligible(x_shape, kernel_shape)
 
 
 def _smear_kernel_2x(kernel: jax.Array) -> jax.Array:

@@ -26,6 +26,7 @@ import optax
 
 from gansynth_tpu.models import Discriminator, Generator
 from gansynth_tpu.models.layers import downsample_avg
+from gansynth_tpu.ops.harmonic import image_pitch_logits
 from gansynth_tpu.ops.spectral import wave_to_image
 from gansynth_tpu.train import losses
 from gansynth_tpu.train.state import TrainState, ema_update, make_optimizer
@@ -156,7 +157,24 @@ def make_train_step(
             adv = losses.generator_adversarial_loss(c_fake)
             ce = losses.pitch_cross_entropy(logits_fake, labels)
             loss = adv + t.aux_pitch_weight * ce
-            return loss, {"g_loss": loss, "g_adv": adv, "g_pitch_ce": ce}
+            metrics = {"g_loss": loss, "g_adv": adv, "g_pitch_ce": ce}
+            if (
+                t.pitch_consistency_weight > 0.0
+                and stage >= t.pitch_consistency_min_stage
+            ):
+                # Parameter-free harmonic-template CE on the generated
+                # image — anchors the audible fundamental to the
+                # conditioned label through a classifier the generator
+                # cannot watermark (ops/harmonic.py).
+                pc = losses.pitch_cross_entropy(
+                    image_pitch_logits(
+                        fake, stage, config, t.pitch_consistency_tau
+                    ),
+                    labels,
+                )
+                loss = loss + t.pitch_consistency_weight * pc
+                metrics = {**metrics, "g_loss": loss, "g_pitch_consistency": pc}
+            return loss, metrics
 
         with jax.named_scope("generator_update"):
             (_, g_metrics), g_grads = jax.value_and_grad(

@@ -116,6 +116,11 @@ class ModelConfig:
     # "bfloat16" (TPU fast path — params, accumulation, normalization and
     # the whole spectral chain stay float32 regardless).
     compute_dtype: str = "float32"
+    # Lowering of the 3x3 trunk convs: "xla" (conv HLO) or "pallas"
+    # (kernels/pallas_conv.py VMEM row-band kernel — only shapes passing
+    # conv3x3_eligible; the rest stay on the conv HLO). Equality-tested.
+    # "xla" is the measured-faster default (DESIGN.md §2c).
+    conv_kernel: str = "xla"
     # Rematerialize trunk blocks in the backward pass (jax.checkpoint).
     # The WGAN-GP step holds 3 critic passes plus second-order gradients
     # live at once (SURVEY.md §7 hard-part 3); remat trades ~1/3 more
@@ -158,6 +163,22 @@ class TrainConfig:
     # False restores the real-only variant (documented in PARITY.md).
     d_pitch_ce_on_fake: bool = True
     ema_decay: float = 0.999        # [K-med]
+    # Generator-side pitch-consistency loss (ops/harmonic.py): CE of a
+    # FIXED harmonic-template classifier over the generated image against
+    # the conditioned pitch. 0 (default) = off, strict reference parity.
+    # Nonzero closes the AC-GAN "classifier cheating" channel by
+    # construction (DESIGN.md §4d: D's trainable head can be watermarked;
+    # a parameter-free physics classifier cannot).
+    pitch_consistency_weight: float = 0.0
+    # Temperature on the template cosine scores (logit = tau * cosine).
+    pitch_consistency_tau: float = 40.0
+    # First ladder stage the consistency loss applies to. The stage-s
+    # image is the full-res image average-pooled 2^(6-s)x IN LOG SPACE,
+    # which geometric-means narrow harmonic peaks into the floor; the
+    # fixed classifier reads fixture notes at 100%/90% exact at stages
+    # 6/5 but degrades to ~55% at stage 4 (measured), so below this
+    # stage its CE would anchor to noise.
+    pitch_consistency_min_stage: int = 5
     # How the discriminator update evaluates its critic passes (a pure
     # scheduling choice — same math to float tolerance, tested):
     #   "none": three separate d.apply calls (real / fake / GP interp).

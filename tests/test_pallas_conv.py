@@ -1,0 +1,134 @@
+"""VMEM-im2col Pallas conv (kernels/pallas_conv.py): equality against the
+XLA convolution HLO in interpret mode, including first- and second-order
+gradients (the WGAN-GP step differentiates grad-of-critic w.r.t. params,
+so the custom VJP must compose under reverse-over-reverse autodiff)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gansynth_tpu.kernels.pallas_conv import conv3x3_eligible, conv3x3_same
+
+pytestmark = pytest.mark.filterwarnings("ignore::DeprecationWarning")
+
+
+def _xla_conv(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+
+SHAPES = [
+    (2, 8, 128, 32, 16),    # minimal eligible width
+    (1, 16, 128, 64, 64),   # square-channel mid stage
+    (2, 4, 256, 64, 128),   # widening conv
+]
+
+
+@pytest.mark.parametrize("b,h,w,cin,cout", SHAPES)
+def test_forward_matches_xla(rng, b, h, w, cin, cout):
+    x = _rand(rng, b, h, w, cin)
+    k = _rand(rng, 3, 3, cin, cout) / np.sqrt(9 * cin)
+    got = conv3x3_same(x, k, True)
+    want = _xla_conv(x, k)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_first_order_grads_match_xla(rng):
+    x = _rand(rng, 2, 8, 128, 32)
+    k = _rand(rng, 3, 3, 32, 32) / np.sqrt(9 * 32)
+    co = _rand(rng, 2, 8, 128, 32)  # fixed cotangent direction
+
+    def scalar(f):
+        return lambda x, k: jnp.sum(f(x, k) * co)
+
+    gx_p, gk_p = jax.grad(scalar(lambda x, k: conv3x3_same(x, k, True)),
+                          argnums=(0, 1))(x, k)
+    gx_x, gk_x = jax.grad(scalar(_xla_conv), argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_x),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_x),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_second_order_gp_style_matches_xla(rng):
+    """The exact WGAN-GP pattern: d/dk of || d/dx sum(conv) ||^2."""
+    x = _rand(rng, 1, 8, 128, 32)
+    k = _rand(rng, 3, 3, 32, 32) / np.sqrt(9 * 32)
+
+    def gp(conv):
+        def inner(x, k):
+            g = jax.grad(lambda xx: jnp.sum(conv(xx, k)))(x)
+            return jnp.sum(jnp.square(g))
+
+        return jax.grad(inner, argnums=1)
+
+    got = gp(lambda x, k: conv3x3_same(x, k, True))(x, k)
+    want = gp(_xla_conv)(x, k)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-3, rtol=1e-3
+    )
+
+
+def test_eligibility_gate():
+    assert conv3x3_eligible((8, 64, 512, 128), (3, 3, 128, 128))
+    assert conv3x3_eligible((8, 32, 256, 256), (3, 3, 256, 256))
+    # C=64: Mosaic rejects the 64-of-128 lane DMA slice (measured on
+    # TPU) — compiled path gated to full-lane channel counts
+    assert not conv3x3_eligible((8, 128, 1024, 64), (3, 3, 64, 64))
+    # fromRGB's 2-channel input is not lane-friendly
+    assert not conv3x3_eligible((8, 128, 1024, 2), (3, 3, 2, 64))
+    # 1x1 kernels use the dense/elementwise paths
+    assert not conv3x3_eligible((8, 128, 1024, 64), (1, 1, 64, 64))
+    # narrow images are not worth the halo DMA
+    assert not conv3x3_eligible((8, 2, 16, 256), (3, 3, 256, 256))
+
+
+def test_equalized_conv_pallas_flag(rng, monkeypatch):
+    """EqualizedConv(conv_kernel='pallas') == the XLA literal, on an
+    eligible shape, with the kernel forced through interpret mode."""
+    import gansynth_tpu.kernels.pallas_conv as pc
+    from gansynth_tpu.models.layers import EqualizedConv
+
+    # layers.py resolves conv3x3_same at call time, so patching the
+    # kernels module routes the flag path through interpret mode.
+    real = pc.conv3x3_same
+    monkeypatch.setattr(
+        pc, "conv3x3_same", lambda x, k, interpret=False: real(x, k, True)
+    )
+
+    x = _rand(np.random.default_rng(0), 2, 8, 128, 128)
+    m_xla = EqualizedConv(features=32, conv_kernel="xla")
+    m_pl = EqualizedConv(features=32, conv_kernel="pallas")
+    params = m_xla.init(jax.random.key(0), x)
+    np.testing.assert_allclose(
+        np.asarray(m_pl.apply(params, x)),
+        np.asarray(m_xla.apply(params, x)),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+def test_from_rgb_fast_path_matches_conv(rng):
+    """The 1x1 tiny-fan-in VPU mul-add path == the conv HLO literal."""
+    from gansynth_tpu.models.layers import EqualizedConv
+
+    x = _rand(rng, 2, 8, 64, 2)
+    m = EqualizedConv(features=64, kernel_size=(1, 1))
+    params = m.init(jax.random.key(1), x)
+    got = m.apply(params, x)
+    kernel = params["params"]["kernel"] * np.sqrt(2.0 / 2.0)
+    want = _xla_conv(x, jnp.asarray(kernel)) + params["params"]["bias"]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+    )
