@@ -383,6 +383,51 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_interpolate(args) -> int:
+    """Render a latent-space morph (and optionally a pitch glide) between
+    two notes — the demo surface the progressive GAN is famous for. The
+    whole path batches through ONE jitted generator call; per-step wavs
+    plus a crossfaded ``morph.wav`` land in ``--output-dir``."""
+    import jax
+
+    from gansynth_tpu.synth.interpolate import (
+        crossfade_concat,
+        interpolation_labels,
+        interpolation_latents,
+    )
+    from gansynth_tpu.synth.sampler import make_latent_sampler
+    from gansynth_tpu.utils.audio_io import write_wav
+
+    config = _build_config(args)
+    sampler, _, stage, config = _restore_sampler(args, config)
+    d = config.model.latent_dim
+    # Endpoints derive from per-note seeds exactly like the serving path
+    # (synth.make_seeded_sampler): a pure function of (params, seed, pitch).
+    za = np.asarray(jax.random.normal(jax.random.key(args.seed_a), (d,)))
+    zb = np.asarray(jax.random.normal(jax.random.key(args.seed_b), (d,)))
+    z = interpolation_latents(za, zb, args.steps, mode=args.mode)
+    pitch_b = args.pitch if args.pitch_b is None else args.pitch_b
+    labels = interpolation_labels(
+        args.pitch, pitch_b, args.steps,
+        config.model.pitch_min, config.model.num_pitches,
+    )
+    sample = make_latent_sampler(config, stage)
+    waves, _ = sample(sampler.params, z, labels)
+    waves = np.asarray(waves)
+    os.makedirs(args.output_dir, exist_ok=True)
+    for i, t in enumerate(np.linspace(0.0, 1.0, args.steps)):
+        out = os.path.join(args.output_dir, f"interp_{i:02d}_t{t:.2f}.wav")
+        write_wav(out, waves[i], config.audio.sample_rate)
+        print(out)
+    overlap = int(round(args.crossfade_ms / 1000.0
+                        * config.audio.sample_rate))
+    morph = crossfade_concat(waves, overlap)
+    out = os.path.join(args.output_dir, "morph.wav")
+    write_wav(out, morph, config.audio.sample_rate)
+    print(out)
+    return 0
+
+
 def cmd_roundtrip(args) -> int:
     import jax.numpy as jnp
 
@@ -562,6 +607,36 @@ def main(argv=None) -> int:
                    "trained stage from the checkpoint step + schedule")
     _add_common_train_flags(p)
     p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser(
+        "interpolate",
+        help="render a latent morph (timbre) / pitch glide between "
+             "two notes as per-step wavs + one crossfaded morph.wav",
+    )
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--pitch", type=int, default=60,
+                   help="MIDI pitch (24..84) of the morph")
+    p.add_argument("--pitch-b", type=int, default=None,
+                   help="glide the conditioning to this pitch "
+                        "(default: fixed --pitch; soft labels in between)")
+    p.add_argument("--seed-a", type=int, default=0,
+                   help="per-note seed of the starting latent")
+    p.add_argument("--seed-b", type=int, default=1,
+                   help="per-note seed of the ending latent")
+    p.add_argument("--steps", type=int, default=9,
+                   help="path length incl. endpoints")
+    p.add_argument("--mode", choices=["slerp", "lerp"], default="slerp",
+                   help="latent path: great-circle (keeps shell-typical "
+                        "norms) or straight chord")
+    p.add_argument("--crossfade-ms", type=float, default=250.0,
+                   help="equal-power crossfade between adjacent path "
+                        "notes in morph.wav (0 = plain concatenation)")
+    p.add_argument("--stage", default="auto",
+                   help="generator stage to sample at; 'auto' derives the "
+                   "trained stage from the checkpoint step + schedule")
+    _add_common_train_flags(p)
+    p.set_defaults(fn=cmd_interpolate)
 
     p = sub.add_parser("evaluate",
                        help="pitch-fidelity metrics from a checkpoint")

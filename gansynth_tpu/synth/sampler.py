@@ -86,6 +86,35 @@ def make_seeded_sampler(config: Config, stage: Optional[int] = None):
     return sample
 
 
+def make_latent_sampler(config: Config, stage: Optional[int] = None):
+    """Explicit-latent sampler: ``sample(params, z [B, D], labels
+    [B, num_pitches]) -> (wave [B, 64000], image)``.
+
+    The latent AND the conditioning row are caller-supplied instead of
+    drawn from a key — the surface the interpolation path
+    (``synth/interpolate.py``, ``cli interpolate``) renders through:
+    slerp'd latents and soft (lerp'd one-hot) pitch labels batch through
+    ONE jitted generator call.
+    """
+    stage = config.model.num_stages - 1 if stage is None else stage
+    g = Generator(config.model)
+
+    @jax.jit
+    def sample(params, z: jax.Array, labels: jax.Array):
+        image = g.apply(
+            params,
+            z.astype(jnp.float32),
+            labels.astype(jnp.float32),
+            stage,
+            jnp.float32(1.0),
+        )
+        factor = 1 << (config.model.num_stages - 1 - stage)
+        full = upsample_nearest(image, factor) if factor > 1 else image
+        return image_to_wave(full, config.audio), image
+
+    return sample
+
+
 def make_dp_sampler(config: Config, mesh, stage: Optional[int] = None):
     """Data-parallel sampler over a mesh: params replicated, the pitch
     batch and output waveforms sharded on the batch axis — latent->audio
