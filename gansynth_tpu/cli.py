@@ -522,7 +522,8 @@ def cmd_export_ema(args) -> int:
         max(step - 1, 0)
     )
     out = args.output or os.path.join(args.model_dir, "ema.npz")
-    save_ema_npz(out, state.ema_params, step, stage=stage)
+    dtype = None if args.dtype == "float32" else args.dtype
+    save_ema_npz(out, state.ema_params, step, stage=stage, dtype=dtype)
     size = os.path.getsize(out) / 2**20
     print(f"wrote {out} ({size:.1f} MiB, step {step}, stage {stage})")
     return 0
@@ -682,6 +683,11 @@ def main(argv=None) -> int:
     p.add_argument("--model-dir", required=True)
     p.add_argument("--output", default=None,
                    help="output path (default: <model-dir>/ema.npz)")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float16"],
+                   help="leaf storage dtype; float16 halves the archive "
+                   "(restore re-casts to float32; audible effect is below "
+                   "the bf16 inference noise floor)")
     _add_common_train_flags(p)
     p.set_defaults(fn=cmd_export_ema)
 

@@ -14,13 +14,18 @@ restart replays the lost tail and continues).
 child process and watches the run's ``metrics.jsonl`` as a heartbeat
 (the loop appends to it every ``log_every`` steps, synchronized through
 a fetched device scalar — so file growth proves steps are COMPLETING on
-device, not merely being dispatched). When the heartbeat goes stale —
-no growth for ``max(min_stall_s, stall_factor × median recent
-interval)`` — the child is killed and restarted from the latest
-checkpoint, up to ``max_restarts`` times. Compile phases (startup, first
-entry into each stage) emit no heartbeat, so the pre-first-heartbeat
-window uses the larger ``startup_grace_s``; stage-boundary recompiles
-must fit inside ``min_stall_s`` (warm persistent-cache compiles do).
+device, not merely being dispatched). Checkpoint-directory activity
+counts as a heartbeat too: a durable orbax save can take many seconds
+(during which metrics are silent but the run is demonstrably alive) and
+the final save happens AFTER the last metrics line — without this
+signal a slow-host run could be killed while committing its result.
+When every heartbeat goes stale — no change for ``max(min_stall_s,
+stall_factor × median recent interval)`` — the child is killed and
+restarted from the latest checkpoint, up to ``max_restarts`` times.
+Compile phases (startup, first entry into each stage) emit no
+heartbeat, so the pre-first-heartbeat window uses the larger
+``startup_grace_s``; stage-boundary recompiles must fit inside
+``min_stall_s`` (warm persistent-cache compiles do).
 
 Fault injection for tests: ``GANSYNTH_TRAIN_STALL="<step>:<flagfile>"``
 makes the training loop hang once it reaches ``<step>`` unless
@@ -97,25 +102,41 @@ class Supervisor:
             )
         return max(self.min_stall_s, self.startup_grace_s)
 
+    def _signal(self):
+        """Liveness snapshot: metrics.jsonl size + checkpoint-dir state
+        (top-level entry names/mtimes — orbax commits a save by renaming
+        a tmp dir into place, which changes both). Any change = beat."""
+        metrics = os.path.join(self.model_dir, "metrics.jsonl")
+        size = os.path.getsize(metrics) if os.path.exists(metrics) else 0
+        ckpts = os.path.join(self.model_dir, "checkpoints")
+        entries = ()
+        if os.path.isdir(ckpts):
+            try:
+                entries = tuple(sorted(
+                    (e.name, e.stat().st_mtime_ns)
+                    for e in os.scandir(ckpts)
+                ))
+            except OSError:
+                pass  # a rename raced the scan; next poll resolves it
+        return size, entries
+
     def _watch(self, proc: subprocess.Popen) -> str:
         """Block until the child exits ('exit') or stalls ('stall' — the
-        child has been killed). Heartbeat = metrics.jsonl growth."""
-        metrics = os.path.join(self.model_dir, "metrics.jsonl")
-        last_size = os.path.getsize(metrics) if os.path.exists(metrics) else 0
+        child has been killed). Heartbeat = metrics.jsonl growth or
+        checkpoint-directory activity (see _signal)."""
+        last_sig = self._signal()
         last_beat = time.monotonic()
         saw_heartbeat = False
         intervals = []
         while True:
             if proc.poll() is not None:
                 return "exit"
-            size = (
-                os.path.getsize(metrics) if os.path.exists(metrics) else 0
-            )
+            sig = self._signal()
             now = time.monotonic()
-            if size != last_size:
+            if sig != last_sig:
                 if saw_heartbeat:
                     intervals.append(now - last_beat)
-                last_size, last_beat = size, now
+                last_sig, last_beat = sig, now
                 saw_heartbeat = True
             elif now - last_beat > self._stall_limit(
                 saw_heartbeat, intervals

@@ -33,7 +33,8 @@ def _wrap_keys(state: TrainState) -> TrainState:
 
 
 def save_ema_npz(
-    path: str, ema_params, step: int, stage: Optional[int] = None
+    path: str, ema_params, step: int, stage: Optional[int] = None,
+    dtype: Optional[str] = None,
 ) -> str:
     """Export the EMA generator alone as one ``.npz`` (compact, durable).
 
@@ -44,13 +45,24 @@ def save_ema_npz(
     rides along as ``__step__`` and (when known) the trained progressive
     stage as ``__stage__`` — restoring tools then need no schedule config
     to sample at the right resolution.
+
+    ``dtype`` (e.g. ``"float16"``) down-casts floating leaves on export,
+    halving the archive; :func:`load_ema_npz` re-casts to the template's
+    dtypes, so restore is transparent. Half-precision params perturb the
+    synthesized audio below the bf16 activation noise already present at
+    inference — fine for distribution artifacts, keep ``None`` (full
+    precision) for checkpoints a finetune might resume from.
     """
     import numpy as np
 
+    cast = np.dtype(dtype) if dtype is not None else None
     flat, _ = jax.tree_util.tree_flatten_with_path(ema_params)
-    arrays = {
-        jax.tree_util.keystr(kp): np.asarray(leaf) for kp, leaf in flat
-    }
+    arrays = {}
+    for kp, leaf in flat:
+        arr = np.asarray(leaf)
+        if cast is not None and np.issubdtype(arr.dtype, np.floating):
+            arr = arr.astype(cast)
+        arrays[jax.tree_util.keystr(kp)] = arr
     arrays["__step__"] = np.asarray(step, np.int64)
     if stage is not None:
         arrays["__stage__"] = np.asarray(stage, np.int64)

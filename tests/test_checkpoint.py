@@ -86,6 +86,31 @@ def test_ema_npz_roundtrip(tmp_path):
     assert step == 8 and stage is None
 
 
+def test_ema_npz_float16_export(tmp_path):
+    """dtype="float16" halves the archive; restore re-casts to the
+    template's float32 within half-precision tolerance."""
+    import os
+
+    from gansynth_tpu.utils.checkpoint import load_ema_npz, save_ema_npz
+
+    state = create_train_state(CFG, seed=0)
+    full = str(tmp_path / "ema32.npz")
+    half = str(tmp_path / "ema16.npz")
+    save_ema_npz(full, state.ema_params, 7, stage=2)
+    save_ema_npz(half, state.ema_params, 7, stage=2, dtype="float16")
+    assert os.path.getsize(half) < 0.75 * os.path.getsize(full)
+    template = create_train_state(CFG, seed=9).ema_params
+    loaded, step, stage = load_ema_npz(half, template)
+    assert step == 7 and stage == 2
+    for ref, got in zip(
+        jax.tree.leaves(state.ema_params), jax.tree.leaves(loaded)
+    ):
+        assert got.dtype == ref.dtype  # template dtype, not f16
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(got), rtol=1e-3, atol=1e-3
+        )
+
+
 def test_ema_npz_shape_mismatch_rejected(tmp_path):
     from gansynth_tpu.utils.checkpoint import load_ema_npz, save_ema_npz
 

@@ -51,7 +51,7 @@ def test_supervisor_recovers_from_injected_stall(tmp_path):
     msgs = []
     sup = Supervisor(
         train_argv, model_dir,
-        min_stall_s=8.0, stall_factor=8.0, startup_grace_s=900.0,
+        min_stall_s=15.0, stall_factor=8.0, startup_grace_s=900.0,
         max_restarts=2, poll_s=0.2,
         log=lambda m: msgs.append(m), child_env=env,
     )
