@@ -320,10 +320,11 @@ def make_server(service: SynthesisService, host: str = "127.0.0.1",
                 self._json(429, {"error": str(e)})
             except RequestTimeoutError as e:
                 self._json(504, {"error": str(e)})
+            except json.JSONDecodeError:
+                # Before ValueError: JSONDecodeError subclasses it.
+                self._json(400, {"error": "invalid JSON body"})
             except ValueError as e:
                 self._json(400, {"error": str(e)})
-            except json.JSONDecodeError:
-                self._json(400, {"error": "invalid JSON body"})
 
     # Threaded: request handlers block on the coalescing queue, so
     # concurrency at the HTTP layer is what lets batches form under load.

@@ -76,6 +76,27 @@ def test_supervisor_recovers_from_injected_stall(tmp_path):
     assert tail == list(range(tail[0], tail[0] + 6)), steps
 
 
+def test_signal_tracks_metrics_and_checkpoint_activity(tmp_path):
+    """The liveness snapshot changes on metrics growth AND on checkpoint
+    directory activity (an orbax save committing mid-silence must count
+    as a heartbeat — a slow durable save is not a stall)."""
+    model_dir = str(tmp_path)
+    sup = Supervisor([], model_dir, log=lambda m: None)
+    s0 = sup._signal()
+    with open(os.path.join(model_dir, "metrics.jsonl"), "a") as f:
+        f.write('{"step": 1}\n')
+    s1 = sup._signal()
+    assert s1 != s0  # metrics growth beats
+    ckpt = os.path.join(model_dir, "checkpoints")
+    os.makedirs(os.path.join(ckpt, "tmp-5"))
+    s2 = sup._signal()
+    assert s2 != s1  # a new checkpoint entry beats
+    os.rename(os.path.join(ckpt, "tmp-5"), os.path.join(ckpt, "5"))
+    s3 = sup._signal()
+    assert s3 != s2  # the orbax commit rename beats
+    assert sup._signal() == s3  # quiescent -> stable snapshot
+
+
 def test_supervisor_gives_up_after_budget(tmp_path):
     """A child that exits nonzero immediately burns the restart budget
     and the supervisor returns its code instead of looping forever."""
