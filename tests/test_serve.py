@@ -275,6 +275,17 @@ def test_error_paths(server):
             post(server + "/synthesize", payload)
         assert exc.value.code == 400
         assert frag in json.loads(exc.value.read())["error"]
+    # Malformed JSON must hit the JSONDecodeError branch (which subclasses
+    # ValueError — ordering in the handler matters) and return the fixed
+    # message, not a decoder traceback string.
+    req = urllib.request.Request(
+        server + "/synthesize", data=b"{not json!",
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc.value.code == 400
+    assert json.loads(exc.value.read())["error"] == "invalid JSON body"
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(server + "/nope", timeout=30)
     assert exc.value.code == 404
