@@ -52,6 +52,9 @@ def _build_config(args) -> Config:
         unroll=getattr(args, "unroll", 1),
         fused_critic=getattr(args, "fused_critic", "none"),
         pitch_consistency_weight=getattr(args, "pitch_consistency", 0.0),
+        pitch_consistency_release_step=getattr(
+            args, "pitch_consistency_release", None
+        ),
         seed=args.seed,
         checkpoint_every=args.checkpoint_every,
         log_every=args.log_every,
@@ -132,6 +135,13 @@ def _add_common_train_flags(p: argparse.ArgumentParser) -> None:
                    "classifier the generator cannot watermark, closing "
                    "the AC-GAN label-swap channel; 0 = off (reference "
                    "parity)")
+    p.add_argument("--pitch-consistency-release", type=int, default=None,
+                   metavar="STEP",
+                   help="global step at which the anchor comes off in ONE "
+                   "run (DESIGN.md §4g production recipe): from STEP on, "
+                   "pitch-consistency weight drops to 0 and the AC-GAN "
+                   "head stops training on fake batches — distribution "
+                   "quality recovers, pitch lock-in persists")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint-every", type=int, default=2000)
     p.add_argument("--log-every", type=int, default=100)

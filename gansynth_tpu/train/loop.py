@@ -196,7 +196,15 @@ def train(
 
             data_iter = prefetch_to_mesh(data_iter, mesh, depth=2)
 
-    step_fns: Dict[int, Callable] = {}
+    # One-run anchor->release schedule (DESIGN.md §4g): at the release
+    # step the loss weights change, which is a compile boundary exactly
+    # like a stage change — the step-fn cache keys on the phase and the
+    # chunk length clamps at the boundary. Phase is a pure function of
+    # the global step, so resume needs no extra state.
+    release_step = config.train.pitch_consistency_release_step
+    released_config = config.released() if release_step is not None else None
+
+    step_fns: Dict[Tuple[int, bool, bool], Callable] = {}
     sampler_fns: Dict[int, Callable] = {}
 
     def get_sampler(stage: int):
@@ -206,21 +214,22 @@ def train(
             sampler_fns[stage] = make_sampler(config, stage)
         return sampler_fns[stage]
 
-    def get_step_fn(stage: int, fused: bool):
-        key = (stage, fused)
+    def get_step_fn(stage: int, fused: bool, released: bool):
+        key = (stage, fused, released)
         if key not in step_fns:
+            cfg = released_config if released else config
             if device_dataset is not None:
-                fn = make_cached_superstep(config, stage, num_examples)
+                fn = make_cached_superstep(cfg, stage, num_examples)
                 step_fns[key] = jax.jit(fn, donate_argnums=0)
             elif not fused:
-                fn = make_train_step(config, stage)
+                fn = make_train_step(cfg, stage)
                 step_fns[key] = (
                     jit_train_step_for_mesh(fn, mesh)
                     if mesh is not None
                     else jax.jit(fn, donate_argnums=0)
                 )
             else:
-                fn = make_superstep(config, stage)
+                fn = make_superstep(cfg, stage)
                 step_fns[key] = (
                     jit_superstep_for_mesh(fn, mesh)
                     if mesh is not None
@@ -259,13 +268,16 @@ def train(
             factory_stage = stage
         k = min(unroll, end - step_idx,
                 schedule.steps_until_stage_change(step_idx))
+        released = release_step is not None and step_idx >= release_step
+        if release_step is not None and not released:
+            k = min(k, release_step - step_idx)
         alphas = np.asarray(
             [schedule.stage_and_alpha(step_idx + i)[1] for i in range(k)],
             np.float32,
         )
 
         if device_dataset is not None:
-            state, metrics = get_step_fn(stage, True)(
+            state, metrics = get_step_fn(stage, True, released)(
                 state, all_waves, all_pitches, jnp.asarray(alphas)
             )
         elif k == 1 and unroll == 1:
@@ -274,7 +286,7 @@ def train(
                 state, wave, pitch = shard_train_inputs(
                     mesh, state, wave, pitch
                 )
-            state, metrics = get_step_fn(stage, False)(
+            state, metrics = get_step_fn(stage, False, released)(
                 state, jnp.asarray(wave), jnp.asarray(pitch),
                 jnp.float32(alphas[0]),
             )
@@ -284,7 +296,7 @@ def train(
             pitches = np.stack([np.asarray(b[1]) for b in batches])
             if mesh is not None:
                 waves, pitches = shard_host_local_chunk(mesh, waves, pitches)
-            state, metrics = get_step_fn(stage, True)(
+            state, metrics = get_step_fn(stage, True, released)(
                 state, jnp.asarray(waves), jnp.asarray(pitches),
                 jnp.asarray(alphas),
             )

@@ -172,6 +172,17 @@ class TrainConfig:
     pitch_consistency_weight: float = 0.0
     # Temperature on the template cosine scores (logit = tau * cosine).
     pitch_consistency_tau: float = 40.0
+    # One-run "anchor -> release" schedule (DESIGN.md §4g production
+    # recipe, measured: 8x Fréchet recovery at zero pitch cost). From
+    # this GLOBAL step on, the training program is rebuilt as
+    # ``Config.released()``: pitch_consistency_weight = 0 (the anchor is
+    # scaffolding — removable once pitch structure has locked in) AND
+    # d_pitch_ce_on_fake = False (the AC-GAN watermark channel stays
+    # closed the repair-proven way, DESIGN.md §4d, so no label swap can
+    # form in the anchor's absence). None = never release. Purely a
+    # function of the global step, so resume lands in the right phase
+    # with no extra persisted state.
+    pitch_consistency_release_step: Optional[int] = None
     # First ladder stage the consistency loss applies to. The stage-s
     # image is the full-res image average-pooled 2^(6-s)x IN LOG SPACE,
     # which geometric-means narrow harmonic peaks into the floor; the
@@ -257,6 +268,16 @@ class Config:
             }
             sections[section] = dataclasses.replace(current, **values)
         return dataclasses.replace(self, **sections)
+
+    def released(self) -> "Config":
+        """The post-release variant of this config (DESIGN.md §4g): the
+        harmonic anchor off, fake-batch pitch CE off. The training loop
+        switches to this variant at
+        ``train.pitch_consistency_release_step``."""
+        return self.with_overrides(
+            {"train": {"pitch_consistency_weight": 0.0,
+                       "d_pitch_ce_on_fake": False}}
+        )
 
 
 def scale(x, in_min, in_max, out_min, out_max):
