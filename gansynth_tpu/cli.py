@@ -230,6 +230,7 @@ def cmd_train(args) -> int:
         waves, pitches = [], []
         for w, p in make_iterator(
             files, config, acoustic_only=not args.synthetic,
+            families=args.instrument_families,
             batch_size=64, shuffle=False, repeat=False,
         ):
             waves.append(np.asarray(w))
@@ -252,6 +253,7 @@ def cmd_train(args) -> int:
                 )
             return make_iterator(
                 files, config, acoustic_only=acoustic,
+                families=args.instrument_families,
                 batch_size=global_batch // num_shards,
                 seed=config.train.seed + 7919 * stage,
                 num_shards=num_shards, shard_index=shard_index,
@@ -260,6 +262,7 @@ def cmd_train(args) -> int:
     else:
         data = make_iterator(
             files, config, acoustic_only=not args.synthetic,
+            families=args.instrument_families,
             batch_size=batch_size, seed=config.train.seed,
             num_shards=num_shards, shard_index=shard_index,
             skip_batches=resume_step,
@@ -594,6 +597,11 @@ def main(argv=None) -> int:
     p.add_argument("--ingest", default="tf", choices=["tf", "native"],
                    help="TFRecord decode path: tf.data or the first-party "
                    "C++ reader (TensorFlow-free)")
+    p.add_argument("--instrument-families", type=int, nargs="+",
+                   default=None, metavar="ID",
+                   help="keep only these NSynth instrument_family ids "
+                   "(0..10) — the other half of the paper's acoustic-"
+                   "subset key, next to instrument_source")
     p.add_argument("--mbstd", default="global",
                    choices=["global", "per-replica"],
                    help="minibatch-stddev batch semantics under DP: "

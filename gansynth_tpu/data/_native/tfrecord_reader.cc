@@ -3,9 +3,10 @@
 // The reference framework delegates its input pipeline to tf.data's C++
 // runtime (SURVEY.md §2.9); this is the first-party equivalent: TFRecord
 // framing with masked-CRC32C verification plus a minimal protobuf
-// wire-format parser that extracts exactly the fields training consumes —
-// "audio" (FloatList), "pitch" (Int64List), "instrument_source"
-// (Int64List) — from tf.train.Example messages.
+// wire-format parser that extracts the full NSynth schema (SURVEY.md §2.1
+// D1) — "audio" (FloatList) plus the Int64List fields "pitch",
+// "velocity", "instrument_family", "instrument_source" and the 10-element
+// "qualities" vector — from tf.train.Example messages.
 //
 // Exposed as a C ABI for ctypes (no pybind11 in this image). Build:
 //   g++ -O3 -shared -fPIC -o libtfrecord.so tfrecord_reader.cc
@@ -139,12 +140,36 @@ struct Reader {
   bool verify_crc = true;
 };
 
+// All parsed fields of one Example. The four Int64List scalars share one
+// output array (slot order is part of the C ABI, mirrored in
+// native_tfrecord.py): 0 pitch, 1 velocity, 2 instrument_family,
+// 3 instrument_source; -1 = absent. "qualities" is a short Int64List
+// vector written up to qual_cap.
+struct Fields {
+  float* audio;
+  int audio_cap;
+  int* audio_len;
+  int64_t* scalars;  // [4]
+  int64_t* qual;
+  int qual_cap;
+  int* qual_len;
+};
+
+// Slot for a scalar Int64List feature name; -1 for non-scalar/unknown.
+int scalar_slot(const std::string& name) {
+  if (name == "pitch") return 0;
+  if (name == "velocity") return 1;
+  if (name == "instrument_family") return 2;
+  if (name == "instrument_source") return 3;
+  return -1;
+}
+
 // Parse one Feature message given its name, filling the outputs.
 // Returns false when the message overran its framing (clamped, not read
 // out of bounds — but the record is malformed and must be reported).
-bool parse_feature(Cursor feat, const std::string& name, float* audio,
-                   int audio_cap, int* audio_len, int64_t* pitch,
-                   int64_t* source) {
+bool parse_feature(Cursor feat, const std::string& name, Fields* out) {
+  int slot = scalar_slot(name);
+  bool want_qual = name == "qualities";
   uint32_t field, wire;
   while (feat.tag(&field, &wire)) {
     if (field == 2 && wire == 2 && name == "audio") {  // FloatList
@@ -155,43 +180,46 @@ bool parse_feature(Cursor feat, const std::string& name, float* audio,
         if (f2 == 1 && w2 == 2) {  // packed floats
           Cursor packed = fl.sub();
           size_t n = (packed.end - packed.p) / 4;
-          for (size_t i = 0; i < n && count < audio_cap; ++i, ++count) {
-            std::memcpy(&audio[count], packed.p + 4 * i, 4);
+          for (size_t i = 0; i < n && count < out->audio_cap; ++i, ++count) {
+            std::memcpy(&out->audio[count], packed.p + 4 * i, 4);
           }
         } else if (f2 == 1 && w2 == 5) {  // unpacked float
-          if (count < audio_cap && fl.end - fl.p >= 4) {
-            std::memcpy(&audio[count++], fl.p, 4);
+          if (count < out->audio_cap && fl.end - fl.p >= 4) {
+            std::memcpy(&out->audio[count++], fl.p, 4);
           }
           fl.skip(w2);
         } else {
           fl.skip(w2);
         }
       }
-      *audio_len = count;
+      *out->audio_len = count;
       if (!fl.ok) feat.ok = false;
-    } else if (field == 3 && wire == 2 &&
-               (name == "pitch" || name == "instrument_source")) {
+    } else if (field == 3 && wire == 2 && (slot >= 0 || want_qual)) {
       Cursor il = feat.sub();  // Int64List
       uint32_t f2, w2;
-      int64_t value = 0;
-      bool have = false;
       while (il.tag(&f2, &w2)) {
         if (f2 == 1 && w2 == 2) {  // packed varints
           Cursor packed = il.sub();
-          if (packed.p < packed.end) {
-            value = static_cast<int64_t>(packed.varint());
-            have = true;
+          while (packed.p < packed.end && packed.ok) {
+            int64_t v = static_cast<int64_t>(packed.varint());
+            if (!packed.ok) break;
+            if (slot >= 0) {
+              out->scalars[slot] = v;
+            } else if (*out->qual_len < out->qual_cap) {
+              out->qual[(*out->qual_len)++] = v;
+            }
           }
+          if (!packed.ok) il.ok = false;
         } else if (f2 == 1 && w2 == 0) {
-          value = static_cast<int64_t>(il.varint());
-          have = true;
+          int64_t v = static_cast<int64_t>(il.varint());
+          if (slot >= 0) {
+            out->scalars[slot] = v;
+          } else if (*out->qual_len < out->qual_cap) {
+            out->qual[(*out->qual_len)++] = v;
+          }
         } else {
           il.skip(w2);
         }
-      }
-      if (have) {
-        if (name == "pitch") *pitch = value;
-        else *source = value;
       }
       if (!il.ok) feat.ok = false;
     } else {
@@ -202,8 +230,7 @@ bool parse_feature(Cursor feat, const std::string& name, float* audio,
 }
 
 // Parse a serialized tf.train.Example.
-bool parse_example(const uint8_t* data, size_t n, float* audio, int audio_cap,
-                   int* audio_len, int64_t* pitch, int64_t* source) {
+bool parse_example(const uint8_t* data, size_t n, Fields* out) {
   Cursor ex{data, data + n};
   uint32_t field, wire;
   while (ex.tag(&field, &wire)) {
@@ -230,10 +257,9 @@ bool parse_example(const uint8_t* data, size_t n, float* audio, int audio_cap,
           }
           if (!entry.ok) return false;
           if (have_value &&
-              (name == "audio" || name == "pitch" ||
-               name == "instrument_source")) {
-            if (!parse_feature(value, name, audio, audio_cap, audio_len,
-                               pitch, source)) {
+              (name == "audio" || name == "qualities" ||
+               scalar_slot(name) >= 0)) {
+            if (!parse_feature(value, name, out)) {
               return false;
             }
           }
@@ -264,9 +290,13 @@ void* tfr_open(const char* path, int verify_crc) {
 }
 
 // Returns 1 on a record, 0 at clean EOF, -1 on framing/CRC/parse error.
-// pitch / instrument_source are -1 when absent from the example.
+// ``scalars`` is int64[4] in slot order (pitch, velocity,
+// instrument_family, instrument_source); absent fields read -1.
+// ``qualities`` receives up to qualities_cap Int64List entries with the
+// count in *qualities_len.
 int tfr_next(void* handle, float* audio, int audio_cap, int* audio_len,
-             int64_t* pitch, int64_t* instrument_source) {
+             int64_t* scalars, int64_t* qualities, int qualities_cap,
+             int* qualities_len) {
   Reader* r = static_cast<Reader*>(handle);
   uint8_t header[12];
   size_t got = std::fread(header, 1, 12, r->f);
@@ -303,10 +333,12 @@ int tfr_next(void* handle, float* audio, int audio_cap, int* audio_len,
     }
   }
   *audio_len = 0;
-  *pitch = -1;
-  *instrument_source = -1;
-  if (!parse_example(r->buf.data(), len, audio, audio_cap, audio_len, pitch,
-                     instrument_source)) {
+  *qualities_len = 0;
+  for (int i = 0; i < 4; ++i) scalars[i] = -1;
+  Fields out{audio,     audio_cap,    audio_len,
+             scalars,   qualities,    qualities_cap,
+             qualities_len};
+  if (!parse_example(r->buf.data(), len, &out)) {
     r->error = "malformed Example proto";
     return -1;
   }

@@ -73,6 +73,12 @@ def write_synthetic_tfrecords(
                 decay=float(rng.uniform(0.8, 2.2)),
                 seed=int(rng.integers(0, 2**31)),
             )
+            # Metadata varies deterministically in ``seed`` so schema
+            # round-trip tests see non-degenerate values in every field
+            # (velocity uses NSynth's discrete ladder; qualities are the
+            # 10 binary note-quality flags).
+            velocity = int(rng.choice([25, 50, 75, 100, 127]))
+            qualities = rng.integers(0, 2, size=10).astype(np.int64)
             feat = {
                 "audio": tf.train.Feature(
                     float_list=tf.train.FloatList(value=audio.tolist())
@@ -81,7 +87,7 @@ def write_synthetic_tfrecords(
                     int64_list=tf.train.Int64List(value=[pitch])
                 ),
                 "velocity": tf.train.Feature(
-                    int64_list=tf.train.Int64List(value=[100])
+                    int64_list=tf.train.Int64List(value=[velocity])
                 ),
                 "instrument_family": tf.train.Feature(
                     int64_list=tf.train.Int64List(value=[i % 11])
@@ -90,7 +96,7 @@ def write_synthetic_tfrecords(
                     int64_list=tf.train.Int64List(value=[0])  # 0 = acoustic
                 ),
                 "qualities": tf.train.Feature(
-                    int64_list=tf.train.Int64List(value=[0] * 10)
+                    int64_list=tf.train.Int64List(value=qualities.tolist())
                 ),
             }
             writer.write(

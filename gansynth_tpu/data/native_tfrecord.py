@@ -18,11 +18,25 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Iterator, Optional, Sequence, Tuple
+from typing import Iterator, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
 from gansynth_tpu.utils.config import Config
+
+
+class NSynthExample(NamedTuple):
+    """One decoded NSynth example — the full D1 schema (SURVEY.md §2.1).
+
+    Absent Int64List scalars read -1; ``qualities`` is the (possibly
+    empty) int64 vector as stored."""
+
+    audio: np.ndarray            # float32 [<= audio_length]
+    pitch: int
+    velocity: int
+    instrument_family: int
+    instrument_source: int
+    qualities: np.ndarray        # int64 [<= 10]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "_native")
 _SRC = os.path.join(_NATIVE_DIR, "tfrecord_reader.cc")
@@ -58,8 +72,10 @@ def _load_library() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),  # scalars[4]
+            ctypes.POINTER(ctypes.c_int64),  # qualities
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
         ]
         lib.tfr_error.restype = ctypes.c_char_p
         lib.tfr_error.argtypes = [ctypes.c_void_p]
@@ -69,10 +85,14 @@ def _load_library() -> ctypes.CDLL:
 
 
 def read_examples(
-    path: str, *, audio_length: int = 64000, verify_crc: bool = True
-) -> Iterator[Tuple[np.ndarray, int, int]]:
-    """Yield (audio float32[<=audio_length], pitch, instrument_source) from
-    one TFRecord file. Raises NativeTFRecordError on corruption."""
+    path: str,
+    *,
+    audio_length: int = 64000,
+    verify_crc: bool = True,
+    max_qualities: int = 10,
+) -> Iterator[NSynthExample]:
+    """Yield :class:`NSynthExample` (the full D1 schema) from one TFRecord
+    file. Raises NativeTFRecordError on corruption."""
     lib = _load_library()
     handle = lib.tfr_open(path.encode(), 1 if verify_crc else 0)
     if not handle:
@@ -80,13 +100,17 @@ def read_examples(
     audio = np.empty(audio_length, np.float32)
     audio_ptr = audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     n = ctypes.c_int()
-    pitch = ctypes.c_int64()
-    source = ctypes.c_int64()
+    # Slot order is the C ABI contract (tfrecord_reader.cc tfr_next):
+    # pitch, velocity, instrument_family, instrument_source.
+    scalars = (ctypes.c_int64 * 4)()
+    qual = np.empty(max_qualities, np.int64)
+    qual_ptr = qual.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    qual_n = ctypes.c_int()
     try:
         while True:
             rc = lib.tfr_next(
                 handle, audio_ptr, audio_length, ctypes.byref(n),
-                ctypes.byref(pitch), ctypes.byref(source),
+                scalars, qual_ptr, max_qualities, ctypes.byref(qual_n),
             )
             if rc == 0:
                 return
@@ -94,7 +118,14 @@ def read_examples(
                 raise NativeTFRecordError(
                     f"{path}: {lib.tfr_error(handle).decode()}"
                 )
-            yield audio[: n.value].copy(), int(pitch.value), int(source.value)
+            yield NSynthExample(
+                audio=audio[: n.value].copy(),
+                pitch=int(scalars[0]),
+                velocity=int(scalars[1]),
+                instrument_family=int(scalars[2]),
+                instrument_source=int(scalars[3]),
+                qualities=qual[: qual_n.value].copy(),
+            )
     finally:
         lib.tfr_close(handle)
 
@@ -107,6 +138,7 @@ def make_native_iterator(
     shuffle: bool = True,
     repeat: bool = True,
     acoustic_only: bool = True,
+    families: Optional[Sequence[int]] = None,
     shuffle_buffer: int = 4096,
     seed: int = 0,
     num_shards: int = 1,
@@ -115,6 +147,8 @@ def make_native_iterator(
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """TensorFlow-free D1–D3 pipeline: yields (wave [B, T] f32, pitch [B]
     i32) batches with the same filtering contract as the tf.data path.
+    ``families`` restricts to those ``instrument_family`` ids (the other
+    half of the paper's acoustic-subset key, next to instrument_source).
 
     ``skip_batches`` replays the (seed-deterministic) stream past that
     many batches before yielding — the data-iterator resume contract
@@ -122,26 +156,31 @@ def make_native_iterator(
     batch_size = batch_size or config.train.batch_size
     audio_len = config.audio.audio_length
     lo, hi = config.model.pitch_min, config.model.pitch_max
+    family_set = None if families is None else {int(f) for f in families}
     rng = np.random.default_rng(seed)
 
     def example_stream():
         position = 0
         while True:
             for path in files:
-                for audio, pitch, source in read_examples(
-                    path, audio_length=audio_len
-                ):
+                for ex in read_examples(path, audio_length=audio_len):
                     idx = position
                     position += 1
                     if num_shards > 1 and idx % num_shards != shard_index:
                         continue
-                    if not (lo <= pitch <= hi):
+                    if not (lo <= ex.pitch <= hi):
                         continue
-                    if acoustic_only and source != 0:
+                    if acoustic_only and ex.instrument_source != 0:
                         continue
+                    if (
+                        family_set is not None
+                        and ex.instrument_family not in family_set
+                    ):
+                        continue
+                    audio = ex.audio
                     if audio.size < audio_len:
                         audio = np.pad(audio, (0, audio_len - audio.size))
-                    yield audio, pitch
+                    yield audio, ex.pitch
             if not repeat:
                 return
 

@@ -34,6 +34,24 @@ NSYNTH_FEATURES = {
 }
 
 
+def _feature_spec(audio_len: int):
+    """tf.io parse spec for the FULL NSynth schema (D1): every field the
+    reference family's parser declares, with defaults so files that omit
+    the metadata fields (e.g. minimal fixtures) still parse."""
+    import tensorflow as tf
+
+    return {
+        "audio": tf.io.FixedLenFeature([audio_len], tf.float32),
+        "pitch": tf.io.FixedLenFeature([], tf.int64),
+        "velocity": tf.io.FixedLenFeature([], tf.int64, -1),
+        "instrument_family": tf.io.FixedLenFeature([], tf.int64, -1),
+        "instrument_source": tf.io.FixedLenFeature([], tf.int64, 0),
+        "qualities": tf.io.FixedLenSequenceFeature(
+            [], tf.int64, allow_missing=True
+        ),
+    }
+
+
 def _make_tf_dataset(
     files: Sequence[str],
     config: Config,
@@ -42,6 +60,7 @@ def _make_tf_dataset(
     shuffle: bool = True,
     repeat: bool = True,
     acoustic_only: bool = True,
+    families: Optional[Sequence[int]] = None,
     shuffle_buffer: int = 4096,
     seed: int = 0,
     num_shards: int = 1,
@@ -51,11 +70,7 @@ def _make_tf_dataset(
     import tensorflow as tf
 
     audio_len = config.audio.audio_length
-    spec = {
-        "audio": tf.io.FixedLenFeature([audio_len], tf.float32),
-        "pitch": tf.io.FixedLenFeature([], tf.int64),
-        "instrument_source": tf.io.FixedLenFeature([], tf.int64, 0),
-    }
+    spec = _feature_spec(audio_len)
 
     ds = tf.data.TFRecordDataset(list(files), num_parallel_reads=tf.data.AUTOTUNE)
     if num_shards > 1:
@@ -71,6 +86,13 @@ def _make_tf_dataset(
     if acoustic_only:
         # NSynth instrument_source: 0 = acoustic, 1 = electronic, 2 = synthetic.
         ds = ds.filter(lambda ex: tf.equal(ex["instrument_source"], 0))
+    if families is not None:
+        # instrument_family filter — the other half of the paper's
+        # acoustic-subset key (SURVEY.md §2.1 D1/D2).
+        fam = tf.constant(sorted({int(f) for f in families}), tf.int64)
+        ds = ds.filter(
+            lambda ex: tf.reduce_any(tf.equal(ex["instrument_family"], fam))
+        )
     ds = ds.map(
         lambda ex: (ex["audio"], tf.cast(ex["pitch"], tf.int32)),
         num_parallel_calls=tf.data.AUTOTUNE,
@@ -98,6 +120,7 @@ def make_nsynth_iterator(
     shuffle: bool = True,
     repeat: bool = True,
     acoustic_only: bool = True,
+    families: Optional[Sequence[int]] = None,
     shuffle_buffer: int = 4096,
     seed: int = 0,
     num_shards: int = 1,
@@ -105,6 +128,7 @@ def make_nsynth_iterator(
     skip_batches: int = 0,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Yields numpy (wave [B, 64000] f32, pitch [B] i32) batches.
+    ``families`` restricts to those ``instrument_family`` ids.
 
     ``skip_batches`` positions the (seed-deterministic) stream past that
     many batches — the data-iterator resume contract (SURVEY.md §5)."""
@@ -115,6 +139,7 @@ def make_nsynth_iterator(
         shuffle=shuffle,
         repeat=repeat,
         acoustic_only=acoustic_only,
+        families=families,
         shuffle_buffer=shuffle_buffer,
         seed=seed,
         num_shards=num_shards,
@@ -123,6 +148,22 @@ def make_nsynth_iterator(
     )
     for wave, pitch in ds.as_numpy_iterator():
         yield wave, pitch
+
+
+def make_nsynth_example_iterator(
+    files: Sequence[str], config: Config
+) -> Iterator[dict]:
+    """Unbatched, unfiltered full-schema stream: yields one dict per
+    example with every D1 field (audio, pitch, velocity,
+    instrument_family, instrument_source, qualities) as numpy values —
+    the tf.data twin of ``native_tfrecord.read_examples`` for schema-level
+    tooling and the reader byte-equivalence tests."""
+    import tensorflow as tf
+
+    spec = _feature_spec(config.audio.audio_length)
+    ds = tf.data.TFRecordDataset(list(files))
+    ds = ds.map(lambda raw: tf.io.parse_single_example(raw, spec))
+    yield from ds.as_numpy_iterator()
 
 
 def prefetch_to_mesh(

@@ -27,22 +27,56 @@ def tfrecord(tmp_path_factory):
 
 class TestRawReader:
     def test_matches_tf_parse_exactly(self, tfrecord):
-        import tensorflow as tf
+        """Full D1 schema round-trip: every field the reference parser
+        declares comes back byte-equal through BOTH readers."""
+        from gansynth_tpu.data.nsynth import make_nsynth_example_iterator
 
         native = list(read_examples(tfrecord))
         assert len(native) == 24
-        spec = {
-            "audio": tf.io.FixedLenFeature([64000], tf.float32),
-            "pitch": tf.io.FixedLenFeature([], tf.int64),
-            "instrument_source": tf.io.FixedLenFeature([], tf.int64),
+        tf_side = list(make_nsynth_example_iterator([tfrecord], CFG))
+        assert len(tf_side) == 24
+        for ex, nat in zip(tf_side, native):
+            np.testing.assert_array_equal(ex["audio"], nat.audio)
+            assert int(ex["pitch"]) == nat.pitch
+            assert int(ex["velocity"]) == nat.velocity
+            assert int(ex["instrument_family"]) == nat.instrument_family
+            assert int(ex["instrument_source"]) == nat.instrument_source
+            np.testing.assert_array_equal(ex["qualities"], nat.qualities)
+        # Fixtures write non-degenerate metadata — the equality above must
+        # not be vacuous.
+        assert len({n.velocity for n in native}) > 1
+        assert len({n.instrument_family for n in native}) > 1
+        assert any(n.qualities.any() for n in native)
+        assert all(n.qualities.shape == (10,) for n in native)
+
+    def test_absent_metadata_reads_minus_one(self, tmp_path):
+        """Records missing the metadata Int64Lists parse with -1 scalars
+        and empty qualities (matches tf.io defaults in _feature_spec)."""
+        import tensorflow as tf
+
+        path = tmp_path / "minimal.tfrecord"
+        audio = np.linspace(-1, 1, 100, dtype=np.float32)
+        feat = {
+            "audio": tf.train.Feature(
+                float_list=tf.train.FloatList(value=audio.tolist())
+            ),
+            "pitch": tf.train.Feature(
+                int64_list=tf.train.Int64List(value=[60])
+            ),
         }
-        for raw, (audio, pitch, source) in zip(
-            tf.data.TFRecordDataset([tfrecord]).as_numpy_iterator(), native
-        ):
-            ex = tf.io.parse_single_example(raw, spec)
-            np.testing.assert_array_equal(ex["audio"].numpy(), audio)
-            assert int(ex["pitch"]) == pitch
-            assert int(ex["instrument_source"]) == source
+        with tf.io.TFRecordWriter(str(path)) as w:
+            w.write(
+                tf.train.Example(
+                    features=tf.train.Features(feature=feat)
+                ).SerializeToString()
+            )
+        (ex,) = list(read_examples(str(path), audio_length=100))
+        assert ex.pitch == 60
+        assert ex.velocity == -1
+        assert ex.instrument_family == -1
+        assert ex.instrument_source == -1
+        assert ex.qualities.size == 0
+        np.testing.assert_array_equal(ex.audio, audio)
 
     def test_crc_corruption_detected(self, tfrecord, tmp_path):
         data = bytearray(open(tfrecord, "rb").read())
@@ -124,6 +158,37 @@ class TestNativePipeline:
         for (wa, pa), (wb, pb) in zip(tf_batches, native_batches):
             np.testing.assert_array_equal(wa, wb)
             np.testing.assert_array_equal(pa, pb)
+
+    def test_family_filter_matches_tf(self, tfrecord):
+        """instrument_family filtering: both pipelines keep the same
+        examples, and only families in the allow-set survive."""
+        from gansynth_tpu.data.nsynth import make_nsynth_example_iterator
+
+        fams = (0, 3, 7)
+        kwargs = dict(
+            shuffle=False, repeat=False, acoustic_only=True, families=fams
+        )
+        tf_batches = list(
+            make_nsynth_iterator([tfrecord], CFG, batch_size=1, **kwargs)
+        )
+        native_batches = list(
+            make_native_iterator([tfrecord], CFG, batch_size=1, **kwargs)
+        )
+        assert len(tf_batches) == len(native_batches) > 0
+        for (wa, pa), (wb, pb) in zip(tf_batches, native_batches):
+            np.testing.assert_array_equal(wa, wb)
+            np.testing.assert_array_equal(pa, pb)
+        # Cross-check the kept set against the raw schema stream.
+        lo, hi = CFG.model.pitch_min, CFG.model.pitch_max
+        expect = [
+            int(ex["pitch"])
+            for ex in make_nsynth_example_iterator([tfrecord], CFG)
+            if int(ex["instrument_family"]) in fams
+            and int(ex["instrument_source"]) == 0
+            and lo <= int(ex["pitch"]) <= hi
+        ]
+        got = [int(p[0]) for _, p in tf_batches]
+        assert got == expect
 
     def test_pitch_filter_and_shuffle(self, tfrecord):
         it = make_native_iterator(
