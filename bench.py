@@ -48,15 +48,20 @@ PEAK_FLOPS = {
 }
 
 
-def _flops_of(compiled) -> float:
-    """XLA's FLOP count for a compiled program (0.0 when unavailable)."""
+def _cost_of(compiled) -> dict:
+    """XLA's cost analysis for a compiled program ({} when unavailable)."""
     try:
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        return float(cost.get("flops", 0.0))
+        return dict(cost)
     except Exception:
-        return 0.0
+        return {}
+
+
+def _flops_of(compiled) -> float:
+    """XLA's FLOP count for a compiled program (0.0 when unavailable)."""
+    return float(_cost_of(compiled).get("flops", 0.0))
 
 
 def bench_train(args, jax, jnp) -> dict:
@@ -105,7 +110,13 @@ def bench_train(args, jax, jnp) -> dict:
     single = jax.jit(make_train_step(config, stage)).lower(
         state, waves[0], pitches[0], alphas[0]
     ).compile()
-    flops_per_step = _flops_of(single)
+    single_cost = _cost_of(single)
+    flops_per_step = float(single_cost.get("flops", 0.0))
+    # Memory traffic of one step (XLA's "bytes accessed"): the numerator
+    # of the HBM-roofline argument (DESIGN.md §2c "bandwidth-bound at
+    # ~75% of roofline") — carried in the bench JSON so the claim
+    # travels with the measurement.
+    bytes_per_step = float(single_cost.get("bytes accessed", 0.0))
 
     state, metrics = compiled(state, waves, pitches, alphas)  # warmup
     assert np.isfinite(float(metrics["d_loss"]))  # fetched-scalar sync
@@ -137,6 +148,11 @@ def bench_train(args, jax, jnp) -> dict:
         "train_conv_kernel": args.conv_kernel,
         "train_dtype": args.dtype,
         "train_flops_per_step": flops_per_step or None,
+        "train_bytes_per_step": bytes_per_step or None,
+        "train_hbm_gbytes_per_sec": (
+            round(bytes_per_step / per_step / 1e9, 1)
+            if bytes_per_step else None
+        ),
         "train_mfu": round(mfu, 4) if mfu is not None else None,
         "device_kind": device_kind,
         "peak_flops_known": peak_known,
@@ -239,6 +255,12 @@ def main() -> int:
                         choices=["xla", "pallas"],
                         help="3x3 trunk conv lowering for the train bench "
                         "(ModelConfig.conv_kernel; pallas = VMEM-im2col)")
+    parser.add_argument("--synthesis-kernel", default="matrix",
+                        choices=["matrix", "xla", "pallas"],
+                        help="spectral synthesis lowering to bench: "
+                        "'matrix' measures BOTH (on TPU) and headlines "
+                        "the winner — the accept-or-reject discipline of "
+                        "SURVEY.md §7 step 6 applied to the flagship path")
     args = parser.parse_args()
 
     import jax
@@ -250,18 +272,35 @@ def main() -> int:
 
     from gansynth_tpu.utils.config import AudioConfig, Config, ModelConfig
 
-    # TPU-tuned synthesis: fused Pallas spectrum kernel + matmul iDFT.
-    # (Compiled Pallas requires a TPU; fall back to the XLA lowering when
-    # someone runs the bench on CPU.)
-    kernel = "pallas" if jax.default_backend() != "cpu" else "xla"
-    config = Config(
-        model=ModelConfig(compute_dtype=args.dtype),
-        audio=AudioConfig(synthesis_kernel=kernel),
-    )
-
     record = {}
     if args.metric in ("all", "synthesis"):
-        record.update(bench_synthesis(args, jax, jnp, config))
+        # Kernel matrix (VERDICT r3 item 4): measure the flagship path
+        # under BOTH spectral-synthesis lowerings — the XLA fusion of the
+        # algebraically-collapsed path and the fused Pallas spectrum
+        # kernel — and headline the winner, so the recorded BENCH json
+        # always carries the comparison. Compiled Pallas requires a TPU;
+        # on CPU only the XLA lowering is measured.
+        if args.synthesis_kernel == "matrix":
+            kernels = (
+                ["xla"] if jax.default_backend() == "cpu"
+                else ["xla", "pallas"]
+            )
+        else:
+            kernels = [args.synthesis_kernel]
+        by_kernel = {}
+        for kern in kernels:
+            cfg_k = Config(
+                model=ModelConfig(compute_dtype=args.dtype),
+                audio=AudioConfig(synthesis_kernel=kern),
+            )
+            by_kernel[kern] = bench_synthesis(args, jax, jnp, cfg_k)
+        best = max(by_kernel, key=lambda k: by_kernel[k]["value"])
+        record.update(by_kernel[best])
+        record["synthesis_kernel"] = best
+        if len(by_kernel) > 1:
+            record["synthesis_x_realtime_by_kernel"] = {
+                k: v["value"] for k, v in by_kernel.items()
+            }
     if args.metric in ("all", "train"):
         train_record = bench_train(args, jax, jnp)
         if args.metric == "train":

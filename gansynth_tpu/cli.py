@@ -50,6 +50,9 @@ def _build_config(args) -> Config:
             getattr(args, "stage_stable_steps", None)
         ),
         unroll=getattr(args, "unroll", 1),
+        device_cache_layout=getattr(
+            args, "device_cache_layout", "replicate"
+        ),
         fused_critic=getattr(args, "fused_critic", "none"),
         pitch_consistency_weight=getattr(args, "pitch_consistency", 0.0),
         pitch_consistency_release_step=getattr(
@@ -222,16 +225,20 @@ def cmd_train(args) -> int:
     data = None
     if getattr(args, "device_cache", False):
         # HBM-resident dataset: decode everything once, train with zero
-        # host transfer per step (small datasets/fixtures only).
-        if args.multihost or args.data_parallel:
-            print("error: --device-cache is single-device only",
-                  file=sys.stderr)
+        # host transfer per step. Under --data-parallel the cache is
+        # placed per --device-cache-layout and each gathered batch is
+        # sharded over the mesh (train/loop.py).
+        if args.multihost:
+            print("error: --device-cache is single-process (every "
+                  "process would need the global dataset); use the "
+                  "streaming ingest for multi-host runs", file=sys.stderr)
             return 2
         waves, pitches = [], []
         for w, p in make_iterator(
             files, config, acoustic_only=not args.synthetic,
             families=args.instrument_families,
             batch_size=64, shuffle=False, repeat=False,
+            drop_remainder=False,
         ):
             waves.append(np.asarray(w))
             pitches.append(np.asarray(p))
@@ -502,6 +509,19 @@ def cmd_evaluate(args) -> int:
         with open(args.output, "w") as f:
             _json.dump(metrics, f, indent=2, sort_keys=True)
         print(f"wrote {args.output}")
+    # Per-detector honesty (VERDICT r3): "either" is the UNION of two
+    # detectors with opposite octave-failure modes — always print the
+    # per-detector numbers on the same line so the union is never quoted
+    # alone.
+    acc = {
+        k: metrics.get(f"pitch_accuracy_{k}")
+        for k in ("hps", "acf", "either")
+    }
+    if all(v is not None for v in acc.values()):
+        print(
+            f"pitch accuracy: HPS {acc['hps']:.1%} / ACF {acc['acf']:.1%}"
+            f" / either-detector union {acc['either']:.1%}"
+        )
     print(_json.dumps(metrics))
     return 0
 
@@ -511,10 +531,16 @@ def cmd_serve(args) -> int:
 
     config = _build_config(args)
     sampler, step, stage, config = _restore_sampler(args, config)
+    mesh = None
+    if args.data_parallel:
+        from gansynth_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
     service = SynthesisService(
         config, sampler.params, stage=stage, max_batch=args.max_batch,
         max_queue_notes=args.max_queue_notes,
         request_timeout_s=args.request_timeout,
+        mesh=mesh,
     )
     print(f"model at step {step}; warmup compile done")
     serve_forever(service, args.host, args.port)
@@ -612,6 +638,13 @@ def main(argv=None) -> int:
                    help="hold the whole decoded dataset in HBM and sample "
                    "batches on device (small datasets; zero host transfer "
                    "per step, stateless resume-exact data stream)")
+    p.add_argument("--device-cache-layout", default="replicate",
+                   choices=["replicate", "shard"],
+                   help="HBM placement of the --device-cache dataset "
+                   "under --data-parallel: full copy per device "
+                   "(communication-free gather) or example axis split "
+                   "across the mesh (cache capacity scales with the "
+                   "slice; one small collective per step)")
     _add_common_train_flags(p)
     p.set_defaults(fn=cmd_train)
 
@@ -691,6 +724,11 @@ def main(argv=None) -> int:
                    "with HTTP 504 (a wedged device fails fast)")
     p.add_argument("--stage", default="auto",
                    help="generator stage; 'auto' derives from checkpoint")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard each coalesced synthesis batch over all "
+                   "visible devices (params replicated; per-note audio "
+                   "unchanged — notes are pure functions of their seeds); "
+                   "rungs round up to mesh-size multiples")
     _add_common_train_flags(p)
     p.set_defaults(fn=cmd_serve)
 

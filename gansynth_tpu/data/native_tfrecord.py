@@ -144,6 +144,7 @@ def make_native_iterator(
     num_shards: int = 1,
     shard_index: int = 0,
     skip_batches: int = 0,
+    drop_remainder: bool = True,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """TensorFlow-free D1–D3 pipeline: yields (wave [B, T] f32, pitch [B]
     i32) batches with the same filtering contract as the tf.data path.
@@ -223,3 +224,10 @@ def make_native_iterator(
                     np.asarray(pitches, np.int32),
                 )
             waves, pitches = [], []
+    if waves and not drop_remainder and skip_batches <= 0:
+        # Final partial batch (one-shot decodes, e.g. the --device-cache
+        # fill) — same contract as tf.data's drop_remainder=False.
+        yield (
+            np.stack(waves).astype(np.float32),
+            np.asarray(pitches, np.int32),
+        )

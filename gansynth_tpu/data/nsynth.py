@@ -66,6 +66,7 @@ def _make_tf_dataset(
     num_shards: int = 1,
     shard_index: int = 0,
     skip_batches: int = 0,
+    drop_remainder: bool = True,
 ):
     import tensorflow as tf
 
@@ -101,7 +102,10 @@ def _make_tf_dataset(
         ds = ds.shuffle(shuffle_buffer, seed=seed, reshuffle_each_iteration=True)
     if repeat:
         ds = ds.repeat()
-    ds = ds.batch(batch_size, drop_remainder=True)
+    # drop_remainder=True is the training contract (static shapes under
+    # jit); one-shot full-dataset decodes (the --device-cache fill) pass
+    # False so the tail examples are not silently lost.
+    ds = ds.batch(batch_size, drop_remainder=drop_remainder)
     if skip_batches:
         # Data-iterator resume (SURVEY.md §5 checkpoint row): the pipeline
         # is deterministic in `seed`, so position state == batch count;
@@ -126,6 +130,7 @@ def make_nsynth_iterator(
     num_shards: int = 1,
     shard_index: int = 0,
     skip_batches: int = 0,
+    drop_remainder: bool = True,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Yields numpy (wave [B, 64000] f32, pitch [B] i32) batches.
     ``families`` restricts to those ``instrument_family`` ids.
@@ -145,6 +150,7 @@ def make_nsynth_iterator(
         num_shards=num_shards,
         shard_index=shard_index,
         skip_batches=skip_batches,
+        drop_remainder=drop_remainder,
     )
     for wave, pitch in ds.as_numpy_iterator():
         yield wave, pitch

@@ -34,7 +34,12 @@ halo-column outputs, which are exactly the ones sliced away.
 
 Shape contract: NHWC, stride 1, SAME (zero) padding, 3x3 kernel,
 W % 8 == 0, H % th == 0 (th chosen per shape), C_in a lane-friendly
-width (the progressive ladder's 32/64/128/256).
+width (the progressive ladder's 32/64/128/256). C_in = 64 — the stage-6
+width, where the trace showed the XLA emitter at its worst in-step MXU
+occupancy — routes through the PIXEL-PAIRING layout (VERDICT r3 item 5):
+two adjacent pixels share one flat row (128 lanes full), and the three
+paired-column taps carry block-structured [128, 2*C_out] kernels
+(``_paired_tap_kernels``); see ``_conv3x3_pallas_paired``.
 
 Differentiation: ``conv3x3_same`` carries a custom VJP whose input
 gradient is ANOTHER ``conv3x3_same`` call (the adjoint of a stride-1
@@ -114,11 +119,101 @@ def _conv_kernel(th: int, wp: int, c_in: int, c_out: int, w: int, out_dtype):
     return kernel
 
 
+def _paired_tap_kernels(kernel: jax.Array) -> jax.Array:
+    """Assemble the pixel-pairing tap kernels: [3, 3, 64, C_out] ->
+    [9, 128, 2*C_out].
+
+    In the paired layout one flat row holds TWO adjacent image pixels
+    (channels concatenated: lanes 0:64 = even pixel, 64:128 = odd pixel),
+    so a C_in=64 conv fills the MXU's 128-lane tile. The tap at paired-
+    column shift dj in {-1, 0, +1} is a 128 x 2*C_out matrix whose four
+    64 x C_out blocks route each input pixel's channels to the output
+    pixel that the ORIGINAL 3x3 taps connect them to:
+
+        out even pixel (col 2j): input cols 2j-1, 2j, 2j+1
+          = (pair j-1, odd) k[:,0] | (pair j, even) k[:,1] | (pair j, odd) k[:,2]
+        out odd  pixel (col 2j+1): input cols 2j, 2j+1, 2j+2
+          = (pair j, even) k[:,0] | (pair j, odd) k[:,1] | (pair j+1, even) k[:,2]
+
+    The dj = +/-1 taps are three-quarters zeros (2x nominal FLOPs
+    overall) — the trade is full 128-lane MXU occupancy vs the naive
+    64-lane layout's 4x systolic-array waste.
+    """
+    c_in, c_out = kernel.shape[2], kernel.shape[3]
+    assert c_in == 64, "pixel pairing is the C_in=64 layout"
+    taps = []
+    for dy in range(3):
+        k = kernel[dy]  # [3, 64, C_out]
+        z = jnp.zeros((64, c_out), kernel.dtype)
+        # dj = -1: only the odd pixel of the previous pair feeds out-even.
+        km1 = jnp.concatenate(
+            [jnp.concatenate([z, z], 1),            # even-in rows
+             jnp.concatenate([k[0], z], 1)], 0)     # odd-in rows
+        # dj = 0: the dense center tap.
+        k0 = jnp.concatenate(
+            [jnp.concatenate([k[1], k[0]], 1),      # even-in rows
+             jnp.concatenate([k[2], k[1]], 1)], 0)  # odd-in rows
+        # dj = +1: only the even pixel of the next pair feeds out-odd.
+        kp1 = jnp.concatenate(
+            [jnp.concatenate([z, k[2]], 1),
+             jnp.concatenate([z, z], 1)], 0)
+        taps += [km1, k0, kp1]
+    return jnp.stack(taps)  # [9, 128, 2*C_out]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _conv3x3_pallas_paired(x, kernel, *, interpret: bool = False):
+    """Pixel-pairing forward for C_in=64 (the stage-6 width): runs the
+    SAME band kernel as :func:`_conv3x3_pallas` over a [B, H, W/2, 128]
+    paired view, with the block-structured tap kernels above, then
+    un-pairs the [.., W/2, 2*C_out] result (a free last-axes reshape).
+    """
+    b, h, w, c_in = x.shape
+    c_out = kernel.shape[-1]
+    wh = w // 2
+    wpp = _round_up(wh + 2, 8)
+    th = _tile_rows(h, wh, 2 * c_in, 2 * c_out, x.dtype.itemsize)
+    # Columns: one halo PAIR each side (the dj taps reach one pair out),
+    # plus zero pairs to the tile-aligned paired width. Rows: 1 halo top,
+    # 1 halo + 1 spare bottom (the band DMA's +8 flat-row overrun).
+    xp = jnp.pad(x, ((0, 0), (1, 2), (2, 2 * wpp - w - 2), (0, 0)))
+    xp = xp.reshape(b, (h + 3) * wpp, 2 * c_in)
+    k9 = _paired_tap_kernels(kernel).astype(x.dtype)
+    out = pl.pallas_call(
+        _conv_kernel(th, wpp, 2 * c_in, 2 * c_out, wh, x.dtype),
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (9, 2 * c_in, 2 * c_out), lambda b, i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, wh, 2 * c_out),
+            lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, wh, 2 * c_out), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM(((th + 2) * wpp + 8, 2 * c_in), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, k9)
+    return out.reshape(b, h, w, c_out)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _conv3x3_pallas(x, kernel, *, interpret: bool = False):
     """Forward pallas_call. x [B, H, W, C_in], kernel [3, 3, C_in, C_out]."""
     b, h, w, c_in = x.shape
     c_out = kernel.shape[-1]
+    if c_in == 64:
+        # 64 channels fill only half the 128-lane tile (and Mosaic
+        # rejects the 64-of-128 lane DMA outright); route through the
+        # pixel-pairing layout instead.
+        return _conv3x3_pallas_paired(x, kernel, interpret=interpret)
     wp = _round_up(w + 2, 8)
     th = _tile_rows(h, w, c_in, c_out, x.dtype.itemsize)
     # Pad: 1 halo row top, 1 halo + 1 spare row bottom (the spare keeps
@@ -195,26 +290,26 @@ conv3x3_same.defvjp(_conv_fwd, _conv_bwd)
 
 
 def conv3x3_eligible(x_shape, kernel_shape) -> bool:
-    """Shapes the COMPILED kernel handles (the ladder's 128/256-channel
+    """Shapes the COMPILED kernel handles (the ladder's 64/128/256-channel
     stages).
 
-    C_in must be a multiple of the 128-lane tile: Mosaic physically pads
-    the HBM memref's lane dimension to 128, and a DMA slice over a
-    64-of-128 lane extent is rejected at compile time (measured on the
-    stage-6 shape). The known fix — packing two pixels per flat row so
-    C=64 fills 128 lanes against block-diagonal 128x128 tap kernels — is
-    deliberately unimplemented: the microbench (DESIGN.md §2c) shows the
-    XLA emitter already runs these shapes at 65-75% of bf16 peak when
-    hot, so the kernel is kept as an alternative lowering, not a perf
-    path. Interpret mode (tests) accepts any C_in.
+    C_in is a multiple of the 128-lane tile, OR exactly 64: Mosaic
+    physically pads the HBM memref's lane dimension to 128, and a DMA
+    slice over a 64-of-128 lane extent is rejected at compile time
+    (measured on the stage-6 shape) — so C=64 routes through the
+    pixel-pairing layout (``_conv3x3_pallas_paired``: two adjacent pixels
+    per flat row fill the 128 lanes against block-structured tap
+    kernels; 2x nominal FLOPs for full MXU occupancy vs the naive
+    layout's 4x systolic-array waste). Interpret mode (tests) accepts
+    any C_in.
     """
     if len(x_shape) != 4 or tuple(kernel_shape[:2]) != (3, 3):
         return False
     _, h, w, c_in = x_shape
     return (
-        c_in % 128 == 0
+        (c_in % 128 == 0 or c_in == 64)
         and c_in <= 512
-        and w % 8 == 0
+        and w % 16 == 0
         and w >= 128
         and h >= 2
     )

@@ -226,6 +226,37 @@ def shard_host_local_chunk(mesh: Mesh, waves, pitches):
     return waves_g, pitches_g
 
 
+def cache_sharding(mesh: Mesh, layout: str) -> NamedSharding:
+    """Sharding for the HBM-resident (--device-cache) dataset [N, ...]:
+    ``"replicate"`` keeps a full copy per device (communication-free batch
+    gather), ``"shard"`` splits the example axis over the mesh (per-device
+    HBM scales the cacheable dataset; the gather costs one O(B*T)
+    collective per step). See TrainConfig.device_cache_layout."""
+    if layout == "replicate":
+        return replicated_sharding(mesh)
+    if layout == "shard":
+        return NamedSharding(mesh, P(_batch_axes(mesh)))
+    raise ValueError(f"unknown device_cache_layout {layout!r}")
+
+
+def jit_cached_superstep_for_mesh(
+    superstep_fn: Callable, mesh: Mesh, layout: str
+):
+    """Jit a cached-dataset K-step program ``(state, all_waves [N, T],
+    all_pitches [N], alphas [K]) -> (state, metrics)`` with DP shardings:
+    replicated state, the dataset placed per ``layout``, and the per-step
+    gathered batch forced onto the ``data`` axis inside the program (the
+    superstep built with ``make_cached_superstep(..., mesh=mesh)``)."""
+    rep = replicated_sharding(mesh)
+    cache = cache_sharding(mesh, layout)
+    return jax.jit(
+        superstep_fn,
+        in_shardings=(rep, cache, cache, None),
+        out_shardings=(rep, rep),
+        donate_argnums=0,
+    )
+
+
 def jit_superstep_for_mesh(superstep_fn: Callable, mesh: Mesh):
     """Jit a fused K-step program ``(state, waves [K, B, T], pitches
     [K, B], alphas [K]) -> (state, metrics)`` with DP shardings: the scan

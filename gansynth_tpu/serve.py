@@ -71,29 +71,50 @@ class SynthesisService:
         max_batch: int = 16,
         max_queue_notes: int = 256,
         request_timeout_s: float = 30.0,
+        mesh=None,
     ):
         import jax  # noqa: F401  (device runtime)
         import jax.numpy as jnp
 
-        from gansynth_tpu.synth.sampler import make_seeded_sampler
+        from gansynth_tpu.synth.sampler import (
+            make_dp_seeded_sampler,
+            make_seeded_sampler,
+        )
 
         self.config = config
-        self.max_batch = max_batch
+        self.mesh = mesh
         # Backpressure bounds (SURVEY.md §5 failure posture): an unbounded
         # queue turns a wedged device into every client blocking forever,
         # invisibly. Overflow -> 429; staleness -> 504 with the request
         # abandoned (never served late).
         self.max_queue_notes = max_queue_notes
         self.request_timeout_s = request_timeout_s
-        self._params = params
         self._jnp = jnp
-        self._sample = make_seeded_sampler(config, stage=stage)
+        if mesh is not None:
+            # Data-parallel serving: one coalesced batch shards across the
+            # slice (params replicated). Per-note audio is unchanged —
+            # each note's latent derives from its own seed — so scaling
+            # out is invisible to clients. Rungs must divide the mesh, so
+            # the ladder is built in mesh-size multiples.
+            from gansynth_tpu.parallel.sharding import replicated_sharding
+
+            n = mesh.devices.size
+            max_batch = -(-max_batch // n) * n  # round up to a multiple
+            self._params = jax.device_put(params, replicated_sharding(mesh))
+            self._sample = make_dp_seeded_sampler(config, mesh, stage=stage)
+        else:
+            n = 1
+            self._params = params
+            self._sample = make_seeded_sampler(config, stage=stage)
+        self.max_batch = max_batch
         # Batch-size ladder: geometric rungs up to max_batch. jax.jit
         # specializes per shape, so warming each rung compiles its own
         # program once; coalesced batches pad only to the smallest fitting
-        # rung instead of always paying max_batch.
+        # rung instead of always paying max_batch. Under a mesh every
+        # rung is a multiple of the device count (the batch axis must
+        # divide the mesh).
         ladder = []
-        b = 1
+        b = n
         while b < max_batch:
             ladder.append(b)
             b *= 4
@@ -272,6 +293,10 @@ def make_server(service: SynthesisService, host: str = "127.0.0.1",
                 m = service.config.model
                 self._json(200, {
                     "status": "ok",
+                    "mesh_devices": (
+                        int(service.mesh.devices.size)
+                        if service.mesh is not None else None
+                    ),
                     "max_batch": service.max_batch,
                     "batch_ladder": list(service.batch_ladder),
                     "warm_latency_s": {
@@ -289,10 +314,15 @@ def make_server(service: SynthesisService, host: str = "127.0.0.1",
                     "num_pitches": m.num_pitches,
                     "sample_rate": service.config.audio.sample_rate,
                     # Byte-stability contract: a note's audio is a pure
-                    # function of (params, seed, pitch) per batch RUNG;
-                    # coalescing may move a request across rungs, whose
-                    # XLA programs can differ in the last float bits.
-                    "determinism": "per-rung",
+                    # function of (params, seed, pitch) per batch RUNG
+                    # and device placement; coalescing may move a request
+                    # across rungs, and a mesh-sharded service runs a
+                    # different XLA specialization than a single-device
+                    # one — either can differ in the last float bits.
+                    "determinism": (
+                        "per-rung" if service.mesh is None
+                        else "per-rung-per-mesh"
+                    ),
                 })
             else:
                 self._json(404, {"error": "unknown path"})

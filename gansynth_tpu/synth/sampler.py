@@ -147,6 +147,49 @@ def make_dp_sampler(config: Config, mesh, stage: Optional[int] = None):
     )
 
 
+def make_dp_seeded_sampler(config: Config, mesh, stage: Optional[int] = None):
+    """Data-parallel per-note-seeded sampler: the serving sampler
+    (``make_seeded_sampler``'s contract) over a mesh — params replicated,
+    seeds/pitches/waveforms sharded on the batch axis.
+
+    A note's audio stays a pure function of ``(params, seed_i, pitch_i)``
+    (its latent derives from its own key), so coalescing AND device
+    placement are both semantics-free: the serving layer can batch
+    arbitrary requests across the slice. Byte-stability is per
+    (rung, placement) — within one mesh-sharded service a note's bytes
+    are exact per rung, but the sharded program is a different XLA
+    specialization than the single-device one and may differ from it in
+    the last float bits (~1e-4 relative, measured).
+    """
+    from gansynth_tpu.parallel.sharding import (
+        batch_sharding,
+        replicated_sharding,
+    )
+
+    stage = config.model.num_stages - 1 if stage is None else stage
+    g = Generator(config.model)
+    rep, shard = replicated_sharding(mesh), batch_sharding(mesh)
+
+    def _sample(params, seeds: jax.Array, pitch: jax.Array):
+        keys = jax.vmap(jax.random.key)(seeds.astype(jnp.uint32))
+        z = jax.vmap(
+            lambda k: jax.random.normal(
+                k, (config.model.latent_dim,), jnp.float32
+            )
+        )(keys)
+        labels = pitch_to_onehot(pitch, config)
+        image = g.apply(params, z, labels, stage, jnp.float32(1.0))
+        factor = 1 << (config.model.num_stages - 1 - stage)
+        full = upsample_nearest(image, factor) if factor > 1 else image
+        return image_to_wave(full, config.audio)
+
+    return jax.jit(
+        _sample,
+        in_shardings=(rep, shard, shard),
+        out_shardings=shard,
+    )
+
+
 class Sampler:
     """Convenience wrapper holding config + generator params (C3 path:
     restore EMA params from checkpoint, then ``sampler(key, pitches)``)."""

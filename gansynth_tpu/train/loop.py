@@ -1,9 +1,11 @@
 """The outer training loop (SURVEY.md §2.5 T6, §7 step 4).
 
 Python drives only the schedule and the infeed; every step is one jitted
-device program. One compiled step function per (stage) — 7 compiles over a
-full run — cached in a dict; fade alpha is a traced argument. Resume
-restores the full state pytree and recomputes (stage, alpha) from the
+device program. Step functions are cached per ``(stage, fused, released)``
+— one compile per stage, times two when an anchor-release schedule splits
+a stage into pre/post-release loss programs (DESIGN.md §4g); fade alpha is
+a traced argument, so fade-in never recompiles. Resume restores the full
+state pytree and recomputes (stage, alpha, release phase) from the
 restored step, so a restart lands exactly where it left off.
 
 With ``config.train.unroll > 1`` the loop fuses K consecutive steps into
@@ -155,14 +157,35 @@ def train(
     if use_mesh and mesh is None:
         mesh = make_mesh()
     if device_dataset is not None:
-        if mesh is not None:
-            raise NotImplementedError(
-                "device_dataset is a single-device fast path; use the "
-                "streaming ingest for mesh runs"
-            )
         all_waves = jnp.asarray(device_dataset[0], jnp.float32)
         all_pitches = jnp.asarray(device_dataset[1], jnp.int32)
         num_examples = int(all_waves.shape[0])
+        if mesh is not None:
+            # Mesh-resident cache: place the dataset per
+            # config.train.device_cache_layout ("replicate" = full copy
+            # per device, "shard" = example axis split across the mesh)
+            # and let the cached superstep constrain each gathered batch
+            # onto the data axis — the stateless zero-host-transfer
+            # stream, data-parallel.
+            from gansynth_tpu.parallel.sharding import cache_sharding
+
+            if jax.process_count() > 1:
+                raise NotImplementedError(
+                    "device_dataset is single-process (every process "
+                    "would need the global dataset); use the streaming "
+                    "ingest for multi-host runs"
+                )
+            layout = config.train.device_cache_layout
+            if layout == "shard" and num_examples % mesh.devices.size:
+                raise ValueError(
+                    f"device_cache_layout='shard' needs the dataset size "
+                    f"({num_examples}) divisible by the mesh size "
+                    f"({mesh.devices.size}); pad/trim the cache or use "
+                    "'replicate'"
+                )
+            placement = cache_sharding(mesh, layout)
+            all_waves = jax.device_put(all_waves, placement)
+            all_pitches = jax.device_put(all_pitches, placement)
     elif data_iter is None and data_factory is None:
         raise ValueError("pass data_iter, data_factory, or device_dataset")
     if (
@@ -202,6 +225,25 @@ def train(
     # chunk length clamps at the boundary. Phase is a pure function of
     # the global step, so resume needs no extra state.
     release_step = config.train.pitch_consistency_release_step
+    if release_step is not None:
+        # Flag validation (round-3 advisor): a negative release silently
+        # means "released from step 0", and releasing with no anchor set
+        # still flips d_pitch_ce_on_fake — away from DS2 parity — which
+        # the flag's name does not suggest. Fail loudly on both.
+        if release_step < 0:
+            raise ValueError(
+                f"pitch_consistency_release_step {release_step} is "
+                "negative (would mean 'released from step 0')"
+            )
+        if config.train.pitch_consistency_weight == 0.0:
+            raise ValueError(
+                "pitch_consistency_release_step is set but "
+                "pitch_consistency_weight is 0 — there is no anchor to "
+                "release, and the release would still turn off the "
+                "AC-GAN fake-batch pitch CE (a change to D's objective). "
+                "Set --pitch-consistency > 0, or drop the release flag "
+                "and use the d_pitch_ce_on_fake config field directly."
+            )
     released_config = config.released() if release_step is not None else None
 
     step_fns: Dict[Tuple[int, bool, bool], Callable] = {}
@@ -219,8 +261,19 @@ def train(
         if key not in step_fns:
             cfg = released_config if released else config
             if device_dataset is not None:
-                fn = make_cached_superstep(cfg, stage, num_examples)
-                step_fns[key] = jax.jit(fn, donate_argnums=0)
+                fn = make_cached_superstep(
+                    cfg, stage, num_examples, mesh=mesh
+                )
+                if mesh is not None:
+                    from gansynth_tpu.parallel.sharding import (
+                        jit_cached_superstep_for_mesh,
+                    )
+
+                    step_fns[key] = jit_cached_superstep_for_mesh(
+                        fn, mesh, config.train.device_cache_layout
+                    )
+                else:
+                    step_fns[key] = jax.jit(fn, donate_argnums=0)
             elif not fused:
                 fn = make_train_step(cfg, stage)
                 step_fns[key] = (
@@ -239,6 +292,19 @@ def train(
 
     start = int(state.step)
     end = schedule.total_steps() if num_steps is None else start + num_steps
+    if release_step is not None and release_step >= end and start < end:
+        import warnings
+
+        # Not an error: a resumed continuation may legitimately carry a
+        # release scheduled past this invocation's end. But a typo'd step
+        # (e.g. 2480000 for 248000) would otherwise never release,
+        # silently.
+        warnings.warn(
+            f"pitch_consistency_release_step {release_step} is at/past "
+            f"this run's final step {end} — the anchor will NOT release "
+            "during this invocation (typo?)",
+            stacklevel=2,
+        )
     t_last = time.perf_counter()
     steps_since_log = 0
     stall_spec = os.environ.get("GANSYNTH_TRAIN_STALL")

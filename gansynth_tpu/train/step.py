@@ -270,7 +270,7 @@ def cached_batch_indices(
 
 
 def make_cached_superstep(
-    config: Config, stage: int, num_examples: int
+    config: Config, stage: int, num_examples: int, mesh=None
 ) -> Callable[[TrainState, jax.Array, jax.Array, jax.Array],
               Tuple[TrainState, Dict[str, jax.Array]]]:
     """Superstep over a DEVICE-RESIDENT dataset: zero host transfer/step.
@@ -287,6 +287,13 @@ def make_cached_superstep(
     Intended for datasets that fit in HBM (fixtures, subsets); the
     streaming ingest path covers the rest. The per-stage batch override
     (``stage_batch_sizes``) applies — ``stage`` is static per compile.
+
+    With ``mesh`` set, the gathered per-step batch is constrained onto
+    the mesh's batch axes, so the step's compute runs data-parallel
+    regardless of how the dataset itself is laid out (replicated or
+    example-sharded — see ``parallel.cache_sharding``); jit via
+    ``jit_cached_superstep_for_mesh``. The index math is replicated, so
+    the batch CONTENT is identical to the single-device stream.
     """
     step_fn = make_train_step(config, stage)
     batch = config.train.batch_for_stage(stage)
@@ -299,13 +306,32 @@ def make_cached_superstep(
             f"cached_stream='shuffle' needs batch ({batch}) <= dataset "
             f"size ({num_examples}); use 'replacement' or a smaller batch"
         )
+    batch_spec = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n = mesh.devices.size
+        if batch % n:
+            raise ValueError(
+                f"stage {stage} global batch {batch} must divide the "
+                f"mesh size {n}"
+            )
+        batch_spec = NamedSharding(
+            mesh, PartitionSpec(tuple(mesh.axis_names))
+        )
 
     def superstep(state, all_waves, all_pitches, alphas):
         def body(s, alpha):
             idx = cached_batch_indices(
                 s.rng, s.step, batch, num_examples, law
             )
-            return step_fn(s, all_waves[idx], all_pitches[idx], alpha)
+            wave_b, pitch_b = all_waves[idx], all_pitches[idx]
+            if batch_spec is not None:
+                wave_b = jax.lax.with_sharding_constraint(wave_b, batch_spec)
+                pitch_b = jax.lax.with_sharding_constraint(
+                    pitch_b, batch_spec
+                )
+            return step_fn(s, wave_b, pitch_b, alpha)
 
         state, metrics = jax.lax.scan(body, state, alphas)
         out = jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)

@@ -221,6 +221,17 @@ class TrainConfig:
     #   "replacement": uniform i.i.d. draws (the round-2 behavior; ~37% of
     #                  a 2048-note set unseen in any 2048-draw window).
     cached_stream: str = "shuffle"
+    # HBM placement of the --device-cache dataset under a mesh:
+    #   "replicate": full copy per device — the batch gather is
+    #                communication-free (each device slices its rows from
+    #                its local copy). Right for fixture-sized sets.
+    #   "shard":     example axis split across devices — per-device HBM
+    #                holds N/n examples, so the cacheable dataset scales
+    #                with the slice; the batch gather costs one
+    #                O(B*T) all-reduce per step (GSPMD's masked gather),
+    #                trivial over ICI next to the step's compute.
+    # Single-device runs ignore this.
+    device_cache_layout: str = "replicate"
     seed: int = 0
     checkpoint_every: int = 2000
     log_every: int = 100

@@ -23,6 +23,15 @@
 set -euo pipefail
 
 RUN_DIR=${1:-/root/repo/runs/anchor_release_onerun}
+case "$RUN_DIR" in
+  -*)
+    # A first arg like `--seed 2` would silently become the run
+    # directory; require an explicit RUN_DIR before any train flags.
+    echo "usage: $0 [RUN_DIR] [extra train flags...]" >&2
+    echo "first argument must be the run directory, not a flag" >&2
+    exit 2
+    ;;
+esac
 if [ $# -gt 0 ]; then shift; fi  # remaining args append to the train cmd
 
 mkdir -p "$RUN_DIR"

@@ -190,6 +190,24 @@ class TestNativePipeline:
         got = [int(p[0]) for _, p in tf_batches]
         assert got == expect
 
+    def test_partial_final_batch_kept(self, tfrecord):
+        """drop_remainder=False (the --device-cache fill contract): both
+        pipelines keep the tail examples in a final short batch."""
+        total = sum(
+            1 for i, p in enumerate(range(20, 90, 3)) if 24 <= p <= 84
+        )
+        assert total % 8 != 0  # the fixture really has a partial tail
+        kwargs = dict(
+            batch_size=8, shuffle=False, repeat=False,
+            acoustic_only=True, drop_remainder=False,
+        )
+        for make in (make_nsynth_iterator, make_native_iterator):
+            batches = list(make([tfrecord], CFG, **kwargs))
+            sizes = [len(p) for _, p in batches]
+            assert sum(sizes) == total
+            assert sizes[-1] == total % 8
+            assert all(s == 8 for s in sizes[:-1])
+
     def test_pitch_filter_and_shuffle(self, tfrecord):
         it = make_native_iterator(
             [tfrecord], CFG, shuffle=True, repeat=True, shuffle_buffer=8, seed=1

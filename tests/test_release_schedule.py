@@ -76,6 +76,38 @@ class TestReleasedConfig:
         assert rel.audio == ANCHORED.audio
 
 
+class TestReleaseValidation:
+    def test_negative_release_step_is_an_error(self, dataset):
+        with pytest.raises(ValueError, match="negative"):
+            train(
+                _with_release(ANCHORED, -1), None,
+                num_steps=2, device_dataset=dataset,
+            )
+
+    def test_release_without_anchor_is_an_error(self, dataset):
+        """--pitch-consistency-release with anchor weight 0 would silently
+        flip d_pitch_ce_on_fake (a change to D's objective away from DS2
+        parity) — must fail loudly instead."""
+        cfg = dataclasses.replace(
+            _with_release(ANCHORED, 2),
+            train=dataclasses.replace(
+                _with_release(ANCHORED, 2).train,
+                pitch_consistency_weight=0.0,
+            ),
+        )
+        with pytest.raises(ValueError, match="no anchor to release"):
+            train(cfg, None, num_steps=2, device_dataset=dataset)
+
+    def test_release_past_end_warns(self, dataset):
+        """A typo'd release step (past this run's final step) must warn —
+        the anchor would otherwise silently never release."""
+        with pytest.warns(UserWarning, match="will NOT release"):
+            train(
+                _with_release(ANCHORED, 1000), None,
+                num_steps=2, device_dataset=dataset,
+            )
+
+
 class TestReleaseSchedule:
     def test_one_run_matches_manual_two_phase(self, dataset):
         """The single-run schedule must be bitwise identical to the
