@@ -225,14 +225,11 @@ def cmd_train(args) -> int:
     data = None
     if getattr(args, "device_cache", False):
         # HBM-resident dataset: decode everything once, train with zero
-        # host transfer per step. Under --data-parallel the cache is
-        # placed per --device-cache-layout and each gathered batch is
-        # sharded over the mesh (train/loop.py).
-        if args.multihost:
-            print("error: --device-cache is single-process (every "
-                  "process would need the global dataset); use the "
-                  "streaming ingest for multi-host runs", file=sys.stderr)
-            return 2
+        # host transfer per step. Under --data-parallel/--multihost the
+        # cache is placed per --device-cache-layout and each gathered
+        # batch is sharded over the mesh (train/loop.py); in a pod every
+        # process decodes the identical full set (the fill below is
+        # deliberately unsharded) and contributes its piece.
         waves, pitches = [], []
         for w, p in make_iterator(
             files, config, acoustic_only=not args.synthetic,

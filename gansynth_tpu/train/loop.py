@@ -157,10 +157,16 @@ def train(
     if use_mesh and mesh is None:
         mesh = make_mesh()
     if device_dataset is not None:
-        all_waves = jnp.asarray(device_dataset[0], jnp.float32)
-        all_pitches = jnp.asarray(device_dataset[1], jnp.int32)
+        # Keep the cache on host until the placement decision — a pod
+        # process must not round-trip 100s of MiB through its default
+        # device before slicing out its contribution.
+        all_waves = np.asarray(device_dataset[0], np.float32)
+        all_pitches = np.asarray(device_dataset[1], np.int32)
         num_examples = int(all_waves.shape[0])
-        if mesh is not None:
+        if mesh is None:
+            all_waves = jnp.asarray(all_waves)
+            all_pitches = jnp.asarray(all_pitches)
+        else:
             # Mesh-resident cache: place the dataset per
             # config.train.device_cache_layout ("replicate" = full copy
             # per device, "shard" = example axis split across the mesh)
@@ -169,12 +175,6 @@ def train(
             # stream, data-parallel.
             from gansynth_tpu.parallel.sharding import cache_sharding
 
-            if jax.process_count() > 1:
-                raise NotImplementedError(
-                    "device_dataset is single-process (every process "
-                    "would need the global dataset); use the streaming "
-                    "ingest for multi-host runs"
-                )
             layout = config.train.device_cache_layout
             if layout == "shard" and num_examples % mesh.devices.size:
                 raise ValueError(
@@ -184,8 +184,30 @@ def train(
                     "'replicate'"
                 )
             placement = cache_sharding(mesh, layout)
-            all_waves = jax.device_put(all_waves, placement)
-            all_pitches = jax.device_put(all_pitches, placement)
+            if jax.process_count() == 1:
+                all_waves = jax.device_put(all_waves, placement)
+                all_pitches = jax.device_put(all_pitches, placement)
+            else:
+                # Multi-host: every process decodes the IDENTICAL full
+                # dataset (the cache fill is unsharded and seed-
+                # deterministic) and contributes its piece — the whole
+                # array under "replicate", its contiguous example-range
+                # under "shard" (mesh device order groups by process, so
+                # each process's addressable shards are one contiguous
+                # range, same assembly contract as
+                # shard_host_local_batch).
+                np_w = np.asarray(all_waves)
+                np_p = np.asarray(all_pitches)
+                if layout == "shard":
+                    per = num_examples // jax.process_count()
+                    lo = jax.process_index() * per
+                    np_w, np_p = np_w[lo:lo + per], np_p[lo:lo + per]
+                all_waves = jax.make_array_from_process_local_data(
+                    placement, np_w
+                )
+                all_pitches = jax.make_array_from_process_local_data(
+                    placement, np_p
+                )
     elif data_iter is None and data_factory is None:
         raise ValueError("pass data_iter, data_factory, or device_dataset")
     if (

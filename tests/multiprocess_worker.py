@@ -90,6 +90,43 @@ def main() -> int:
             for leaf in jax.tree.leaves(state.g_params)
         )
     )
+
+    # Mesh-resident cached stream in the pod (both HBM layouts): every
+    # process builds the IDENTICAL full dataset; the loop assembles it
+    # onto the global mesh and the stateless stream steps it. The
+    # per-layout checksums must agree across processes AND across
+    # layouts (the gathered batch content is layout-independent).
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    n_examples = 2 * n_global
+    t = np.arange(config.audio.audio_length) / config.audio.sample_rate
+    freqs = rng.uniform(110, 1500, n_examples)
+    cache_waves = np.sin(2 * np.pi * freqs[:, None] * t).astype(np.float32)
+    cache_pitches = rng.integers(24, 85, n_examples).astype(np.int32)
+    cached_checksums = {}
+    for layout in ("replicate", "shard"):
+        cfg_c = dataclasses.replace(
+            config,
+            train=dataclasses.replace(
+                config.train, device_cache_layout=layout, unroll=2
+            ),
+        )
+        st = train(
+            cfg_c,
+            None,
+            num_steps=2,
+            state=create_train_state(cfg_c, seed=1),
+            use_mesh=True,
+            device_dataset=(cache_waves, cache_pitches),
+        )
+        cached_checksums[layout] = float(
+            sum(
+                float(abs(np.asarray(leaf)).sum())
+                for leaf in jax.tree.leaves(st.g_params)
+            )
+        )
+
     with open(outfile, "w") as f:
         json.dump(
             {
@@ -98,6 +135,7 @@ def main() -> int:
                 "step": int(state.step),
                 "metrics": metrics_log,
                 "g_param_checksum": checksum,
+                "cached_checksums": cached_checksums,
             },
             f,
         )

@@ -54,7 +54,7 @@ def pod_results(tmp_path_factory):
     results = []
     for p in procs:
         try:
-            stdout, stderr = p.communicate(timeout=420)
+            stdout, stderr = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -81,6 +81,19 @@ class TestMultiProcessPod:
         for ma, mb in zip(a["metrics"], b["metrics"]):
             for k in ma:
                 assert ma[k] == pytest.approx(mb[k], rel=1e-5, abs=1e-6), k
+
+    def test_cached_stream_in_pod(self, pod_results):
+        """--device-cache in a pod: both HBM layouts run, processes
+        agree, and the two layouts produce the same trained params (the
+        gathered batch content is layout-independent)."""
+        a, b = pod_results
+        for layout in ("replicate", "shard"):
+            assert a["cached_checksums"][layout] == pytest.approx(
+                b["cached_checksums"][layout], rel=1e-6
+            ), layout
+        assert a["cached_checksums"]["replicate"] == pytest.approx(
+            a["cached_checksums"]["shard"], rel=1e-4
+        )
 
     def test_matches_single_process(self, pod_results):
         """2-process DP ≡ single-device on the same global batch."""
