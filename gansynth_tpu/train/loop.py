@@ -314,13 +314,14 @@ def train(
 
     start = int(state.step)
     end = schedule.total_steps() if num_steps is None else start + num_steps
-    if release_step is not None and release_step >= end and start < end:
+    if release_step is not None and release_step > end and start < end:
         import warnings
 
         # Not an error: a resumed continuation may legitimately carry a
-        # release scheduled past this invocation's end. But a typo'd step
-        # (e.g. 2480000 for 248000) would otherwise never release,
-        # silently.
+        # release scheduled past this invocation's end (and stopping a
+        # run EXACTLY at the release step is the manual two-phase
+        # pattern, so == end stays silent). But a typo'd step (e.g.
+        # 2480000 for 248000) would otherwise never release, silently.
         warnings.warn(
             f"pitch_consistency_release_step {release_step} is at/past "
             f"this run's final step {end} — the anchor will NOT release "
