@@ -506,21 +506,29 @@ def cmd_evaluate(args) -> int:
         with open(args.output, "w") as f:
             _json.dump(metrics, f, indent=2, sort_keys=True)
         print(f"wrote {args.output}")
-    # Per-detector honesty (VERDICT r3): "either" is the UNION of two
-    # detectors with opposite octave-failure modes — always print the
-    # per-detector numbers on the same line so the union is never quoted
-    # alone.
-    acc = {
-        k: metrics.get(f"pitch_accuracy_{k}")
-        for k in ("hps", "acf", "either")
-    }
-    if all(v is not None for v in acc.values()):
-        print(
-            f"pitch accuracy: HPS {acc['hps']:.1%} / ACF {acc['acf']:.1%}"
-            f" / either-detector union {acc['either']:.1%}"
-        )
+    summary = _pitch_accuracy_summary(metrics)
+    if summary:
+        print(summary)
     print(_json.dumps(metrics))
     return 0
+
+
+def _pitch_accuracy_summary(metrics: dict) -> str:
+    """Per-detector honesty (VERDICT r3): "either" is the UNION of two
+    detectors with opposite octave-failure modes — always print the
+    per-detector numbers on the same line so the union is never quoted
+    alone. Returns "" when the pitch metrics are absent."""
+    acc = {
+        "hps": metrics.get("pitch_accuracy"),  # harmonic-sum detector
+        "acf": metrics.get("pitch_accuracy_acf"),
+        "either": metrics.get("pitch_accuracy_either"),
+    }
+    if any(v is None for v in acc.values()):
+        return ""
+    return (
+        f"pitch accuracy: HPS {acc['hps']:.1%} / ACF {acc['acf']:.1%}"
+        f" / either-detector union {acc['either']:.1%}"
+    )
 
 
 def cmd_serve(args) -> int:

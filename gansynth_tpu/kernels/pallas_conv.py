@@ -209,10 +209,11 @@ def _conv3x3_pallas(x, kernel, *, interpret: bool = False):
     """Forward pallas_call. x [B, H, W, C_in], kernel [3, 3, C_in, C_out]."""
     b, h, w, c_in = x.shape
     c_out = kernel.shape[-1]
-    if c_in == 64:
+    if c_in == 64 and w % 2 == 0:
         # 64 channels fill only half the 128-lane tile (and Mosaic
         # rejects the 64-of-128 lane DMA outright); route through the
-        # pixel-pairing layout instead.
+        # pixel-pairing layout instead. Odd widths (interpret-mode
+        # corner; never eligible compiled) stay on the unpaired path.
         return _conv3x3_pallas_paired(x, kernel, interpret=interpret)
     wp = _round_up(w + 2, 8)
     th = _tile_rows(h, w, c_in, c_out, x.dtype.itemsize)

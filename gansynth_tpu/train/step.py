@@ -313,8 +313,8 @@ def make_cached_superstep(
         n = mesh.devices.size
         if batch % n:
             raise ValueError(
-                f"stage {stage} global batch {batch} must divide the "
-                f"mesh size {n}"
+                f"stage {stage} global batch {batch} must be divisible "
+                f"by the mesh size {n}"
             )
         batch_spec = NamedSharding(
             mesh, PartitionSpec(tuple(mesh.axis_names))

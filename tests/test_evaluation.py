@@ -342,3 +342,21 @@ class TestEvaluateSampler:
         assert abs(detect_midi_pitch(w) - 50) < 0.5
         with pytest.raises(KeyError):
             ref(24, 0)
+
+
+def test_cli_pitch_accuracy_summary_line():
+    """The evaluate CLI's one-line summary always pairs the either-
+    detector union with BOTH per-detector numbers (VERDICT r3 honesty
+    rule), and stays silent when the metrics are absent."""
+    from gansynth_tpu.cli import _pitch_accuracy_summary
+
+    line = _pitch_accuracy_summary({
+        "pitch_accuracy": 0.943,
+        "pitch_accuracy_acf": 0.990,
+        "pitch_accuracy_either": 1.0,
+    })
+    assert line == (
+        "pitch accuracy: HPS 94.3% / ACF 99.0%"
+        " / either-detector union 100.0%"
+    )
+    assert _pitch_accuracy_summary({"pitch_accuracy": 1.0}) == ""
