@@ -3,12 +3,18 @@
 # single-tenant, so everything here must run strictly AFTER the
 # flagship training supervisor exits — this script waits for it).
 #
+# Ordered by importance so a short window still captures the round's
+# evidence (each leg has its own timeout; later legs run regardless):
 #   1. wait for the supervise process (pid file) to exit
-#   2. full-scale eval of the flagship run (eval_r4.sh)
-#   3. Pallas conv microbench (now incl. the C=64 pixel-pairing shape)
+#   2. full-scale eval of the flagship run (eval_r4.sh) -> eval_full.json
+#   3. COMMIT the run artifacts immediately (ema.npz + eval_full.json +
+#      metrics + config) — round 3 lost its best checkpoint by leaving
+#      it on local disk only
 #   4. bench.py full matrix (synthesis xla+pallas, train MFU + HBM b/s)
+#   5. Pallas conv microbench (incl. the C=64 pixel-pairing shape)
+#   6. commit the bench logs
 #
-# Outputs land in runs/flagship_r4/ and /tmp/r4_bench_*.log.
+# Outputs land in runs/flagship_r4/ and /tmp/r4_*.log.
 set -uo pipefail
 
 PIDFILE=${1:-/tmp/flagship_r4.pid}
@@ -23,16 +29,33 @@ fi
 
 cd /root/repo
 
-echo "=== eval (n=488 + attribution) ==="
-bash scripts/eval_r4.sh "$RUN_DIR" 2>&1 | tail -5
+echo "=== eval (n=488 + attribution) $(date) ==="
+timeout 3000 bash scripts/eval_r4.sh "$RUN_DIR" \
+  > /tmp/r4_eval.log 2>&1
+tail -8 /tmp/r4_eval.log
 
-echo "=== pallas conv microbench ==="
-timeout 3600 python scripts/pallas_conv_bench.py \
-  > /tmp/r4_pallas_conv_bench.log 2>&1
-tail -12 /tmp/r4_pallas_conv_bench.log
+echo "=== committing flagship artifacts $(date) ==="
+git add "$RUN_DIR/ema.npz" "$RUN_DIR/metrics.jsonl" \
+        "$RUN_DIR/train_config.json" 2>/dev/null || true
+[ -f "$RUN_DIR/eval_full.json" ] && git add "$RUN_DIR/eval_full.json"
+git commit -m "Flagship r4 anchor->release run: EMA weights, metrics, full eval" \
+  || echo "(nothing to commit)"
 
-echo "=== bench.py full matrix ==="
-timeout 3600 python bench.py > /tmp/r4_bench.log 2>&1
+echo "=== bench.py full matrix $(date) ==="
+timeout 2400 python bench.py > /tmp/r4_bench.log 2>&1
 tail -2 /tmp/r4_bench.log
+
+echo "=== pallas conv microbench $(date) ==="
+timeout 2400 python scripts/pallas_conv_bench.py --repeats 3 \
+  > /tmp/r4_pallas_conv_bench.log 2>&1
+tail -14 /tmp/r4_pallas_conv_bench.log
+
+echo "=== committing bench logs $(date) ==="
+mkdir -p "$RUN_DIR/bench"
+cp -f /tmp/r4_bench.log /tmp/r4_pallas_conv_bench.log /tmp/r4_eval.log \
+      "$RUN_DIR/bench/" 2>/dev/null || true
+git add "$RUN_DIR/bench" && git commit -m \
+  "Round-4 TPU window results: bench matrix + conv microbench + eval log" \
+  || echo "(nothing to commit)"
 
 echo "=== done $(date) ==="
