@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -595,6 +596,36 @@ def cmd_supervise(args) -> int:
     return sup.run()
 
 
+def cmd_stop(args) -> int:
+    """Request a graceful stop of the training run in ``--model-dir``:
+    write the one-shot STOP file the training loop polls. The loop
+    checkpoints at its next superstep boundary, consumes the file, and
+    exits 0 — under ``supervise`` a zero exit means "done", so the
+    watchdog does not restart. Stop latency is one superstep
+    (single-process) or one ``log_every`` crossing (multi-host)."""
+    stop_path = os.path.join(args.model_dir, "STOP")
+    if not os.path.isdir(args.model_dir):
+        print(f"model dir {args.model_dir} does not exist", flush=True)
+        return 2
+    with open(stop_path, "w") as f:
+        f.write("requested by `gansynth_tpu stop`\n")
+    print(f"stop requested: wrote {stop_path}", flush=True)
+    if not args.wait:
+        return 0
+    metrics = os.path.join(args.model_dir, "metrics.jsonl")
+    deadline = time.time() + args.wait
+    while time.time() < deadline:
+        if not os.path.exists(stop_path):
+            print("stop honored (STOP file consumed by the run)")
+            return 0
+        time.sleep(1.0)
+    print(
+        f"STOP file still present after {args.wait:.0f}s — no live run "
+        "is polling it (already stopped? wrong --model-dir?)"
+    )
+    return 1
+
+
 def cmd_fixtures(args) -> int:
     from gansynth_tpu.data import write_synthetic_tfrecords
 
@@ -772,6 +803,18 @@ def main(argv=None) -> int:
                    help="arguments forwarded to the train subcommand "
                    "(must include --model-dir); prefix with --")
     p.set_defaults(fn=cmd_supervise)
+
+    p = sub.add_parser(
+        "stop",
+        help="gracefully stop a running train/supervise: checkpoint at "
+        "the next superstep boundary, then exit 0 (no restart)",
+    )
+    p.add_argument("--model-dir", required=True,
+                   help="the running train's --model-dir")
+    p.add_argument("--wait", type=float, default=0.0, metavar="SECONDS",
+                   help="block until the run consumes the request "
+                   "(0 = return immediately)")
+    p.set_defaults(fn=cmd_stop)
 
     p = sub.add_parser("roundtrip", help="wave -> mel-IF -> wave check")
     p.add_argument("--input", help="16 kHz mono wav (default: synthetic note)")

@@ -18,6 +18,13 @@ Throughput telemetry synchronizes by FETCHING a scalar metric before
 reading the clock — on tunneled TPU backends ``block_until_ready`` does
 not actually block (see bench.py), so a fetch is the only device-true
 barrier.
+
+Graceful stop (preemption-style): a ``STOP`` file in the workdir (written
+by ``cli stop``) makes the loop checkpoint at the next superstep boundary
+and return cleanly — exit 0 under ``cli supervise``, which therefore does
+not restart. The file is one-shot (consumed when honored); multi-host
+runs broadcast process 0's decision at log-cadence crossings so every
+process stops at the same step.
 """
 
 from __future__ import annotations
@@ -332,6 +339,43 @@ def train(
     steps_since_log = 0
     stall_spec = os.environ.get("GANSYNTH_TRAIN_STALL")
 
+    # Graceful stop (preemption-style): a STOP file in the workdir makes
+    # the loop checkpoint at the next superstep boundary and return
+    # cleanly (exit 0 under `cli supervise`, which therefore does NOT
+    # restart — the supervisor treats a zero exit as "done"). The file is
+    # a one-shot request: it is consumed when honored, so a later resume
+    # runs normally. `cli stop --model-dir DIR` writes it.
+    stop_path = os.path.join(workdir, "STOP") if workdir is not None else None
+    if stop_path and os.path.exists(stop_path):
+        import warnings
+
+        # A file that predates this invocation is a stale request aimed
+        # at a PREVIOUS run (or left by a kill that raced the consume);
+        # honoring it would stop a fresh run at its first boundary.
+        if jax.process_index() == 0:
+            os.remove(stop_path)
+        warnings.warn(
+            f"stale STOP file {stop_path} removed at startup; write it "
+            "again (or run `cli stop`) to stop THIS run",
+            stacklevel=2,
+        )
+
+    def _stop_requested(prev: int, new: int) -> bool:
+        if stop_path is None:
+            return False
+        if jax.process_count() == 1:
+            return os.path.exists(stop_path)
+        # Multi-host: every process must take the SAME decision at the
+        # SAME step or the SPMD programs desync. Evaluate only at
+        # deterministic step crossings (log cadence bounds the stop
+        # latency) and broadcast process 0's answer.
+        if not _crossed(prev, new, max(config.train.log_every, 1)):
+            return False
+        from jax.experimental import multihost_utils
+
+        flag = jax.process_index() == 0 and os.path.exists(stop_path)
+        return bool(multihost_utils.broadcast_one_to_all(np.int32(flag)))
+
     def _stage_start(step: int) -> int:
         for _, seg_start, seg_end in schedule.stage_boundaries():
             if step < seg_end:
@@ -406,9 +450,11 @@ def train(
             logger.log(new_step, metrics, stage=stage)
         if on_metrics is not None:
             on_metrics(new_step, stage, metrics)
+        stop_now = _stop_requested(step_idx, new_step)
         if checkpointer is not None and (
             _crossed(step_idx, new_step, config.train.checkpoint_every)
             or new_step == end
+            or stop_now
         ):
             checkpointer.save(new_step, state)
             if workdir is not None:
@@ -432,6 +478,15 @@ def train(
         if stall_spec:
             _maybe_inject_stall(stall_spec, new_step)
         step_idx = new_step
+        if stop_now:
+            if jax.process_index() == 0 and os.path.exists(stop_path):
+                os.remove(stop_path)  # one-shot: consume the request
+            print(
+                f"graceful stop: STOP file honored at step {new_step}; "
+                "checkpointed and exiting cleanly",
+                flush=True,
+            )
+            break
 
     if checkpointer is not None:
         checkpointer.wait()

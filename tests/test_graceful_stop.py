@@ -1,0 +1,161 @@
+"""Graceful stop (preemption-style shutdown, SURVEY.md §5 failure-
+detection/checkpointing rows): a STOP file in the workdir makes the
+training loop checkpoint at the next superstep boundary and return
+cleanly, so `cli supervise` sees exit 0 and does not restart. The file
+is one-shot (consumed when honored); a resume afterwards replays the
+exact stream, so stop+resume equals the uninterrupted run.
+
+The multi-host path (process-0 decision broadcast at log-cadence
+crossings) shares all the code below except the broadcast itself, which
+`tests/test_multiprocess.py`'s pod harness covers structurally.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from gansynth_tpu.cli import main as cli_main
+from gansynth_tpu.data import make_nsynth_iterator, write_synthetic_tfrecords
+from gansynth_tpu.train.loop import train
+from gansynth_tpu.utils.config import Config, ModelConfig, TrainConfig
+
+pytest.importorskip("tensorflow")
+
+TINY = Config(
+    model=ModelConfig(latent_dim=8, fmap_base=64, fmap_max=16, fmap_min=8),
+    train=TrainConfig(
+        batch_size=4,
+        fade_steps=3,
+        stable_steps=3,
+        checkpoint_every=100,  # far cadence: any mid-run save is the stop's
+        log_every=2,
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def tfrecord(tmp_path_factory):
+    path = tmp_path_factory.mktemp("data") / "notes.tfrecord"
+    return write_synthetic_tfrecords(str(path), num_examples=16, seed=0)
+
+
+def data_iter(tfrecord, batch=4):
+    return make_nsynth_iterator(
+        [tfrecord], TINY, batch_size=batch, acoustic_only=False, seed=0
+    )
+
+
+def test_stop_file_checkpoints_and_exits(tfrecord, tmp_path):
+    workdir = str(tmp_path / "run")
+    stop_path = os.path.join(workdir, "STOP")
+
+    def request_stop(step, stage, metrics):
+        if step >= 4:
+            open(stop_path, "w").close()
+
+    state = train(
+        TINY, data_iter(tfrecord), num_steps=12, workdir=workdir,
+        on_metrics=request_stop,
+    )
+    stopped_at = int(state.step)
+    assert stopped_at < 12  # honored before the requested horizon
+    assert stopped_at >= 4  # ... but not before the request
+    # the stop saved a checkpoint at the boundary even off-cadence
+    from gansynth_tpu.utils.checkpoint import Checkpointer
+
+    assert Checkpointer(f"{workdir}/checkpoints").latest_step() == stopped_at
+    # and the compact EMA artifact rode along
+    assert os.path.exists(os.path.join(workdir, "ema.npz"))
+    # one-shot: the request was consumed
+    assert not os.path.exists(stop_path)
+
+
+def test_stale_stop_file_is_removed_at_startup(tfrecord, tmp_path):
+    workdir = str(tmp_path / "stale")
+    os.makedirs(workdir)
+    open(os.path.join(workdir, "STOP"), "w").close()
+    with pytest.warns(UserWarning, match="stale STOP file"):
+        state = train(TINY, data_iter(tfrecord), num_steps=3, workdir=workdir)
+    assert int(state.step) == 3  # ran to the horizon, not stopped at step 1
+    assert not os.path.exists(os.path.join(workdir, "STOP"))
+
+
+def test_resume_after_stop_matches_uninterrupted(tfrecord, tmp_path):
+    """Stop + resume must see the SAME batch stream and land on the same
+    numbers as the uninterrupted run (the loop.py resume contract)."""
+    losses_full = []
+    train(
+        TINY, data_iter(tfrecord), num_steps=8,
+        workdir=str(tmp_path / "full"),
+        on_metrics=lambda s, st, m: losses_full.append(
+            (s, float(np.asarray(m["d_loss"])))
+        ),
+    )
+
+    workdir = str(tmp_path / "stopped")
+    stop_path = os.path.join(workdir, "STOP")
+
+    def request_stop(step, stage, metrics):
+        if step >= 4:
+            open(stop_path, "w").close()
+
+    state = train(
+        TINY, data_iter(tfrecord), num_steps=8, workdir=workdir,
+        on_metrics=request_stop,
+    )
+    stopped_at = int(state.step)
+    assert stopped_at < 8
+    losses_resumed = []
+    state = train(
+        TINY, data_iter(tfrecord), num_steps=8 - stopped_at, workdir=workdir,
+        on_metrics=lambda s, st, m: losses_resumed.append(
+            (s, float(np.asarray(m["d_loss"])))
+        ),
+    )
+    assert int(state.step) == 8
+    tail_full = [x for x in losses_full if x[0] > stopped_at]
+    np.testing.assert_allclose(
+        [l for _, l in losses_resumed],
+        [l for _, l in tail_full],
+        rtol=2e-5,
+    )
+
+
+class TestCliStop:
+    def test_writes_stop_file(self, tmp_path, capsys):
+        d = str(tmp_path / "run")
+        os.makedirs(d)
+        assert cli_main(["stop", "--model-dir", d]) == 0
+        assert os.path.exists(os.path.join(d, "STOP"))
+        assert "stop requested" in capsys.readouterr().out
+
+    def test_missing_model_dir(self, tmp_path, capsys):
+        assert cli_main(
+            ["stop", "--model-dir", str(tmp_path / "nope")]
+        ) == 2
+
+    def test_wait_times_out_when_nothing_polls(self, tmp_path, capsys):
+        d = str(tmp_path / "dead")
+        os.makedirs(d)
+        assert cli_main(["stop", "--model-dir", d, "--wait", "1.2"]) == 1
+        assert "no live run" in capsys.readouterr().out
+
+    def test_wait_returns_when_consumed(self, tmp_path, capsys):
+        import threading
+
+        d = str(tmp_path / "live")
+        os.makedirs(d)
+        stop_path = os.path.join(d, "STOP")
+
+        def consume():
+            # a stand-in for the training loop honoring the request
+            while not os.path.exists(stop_path):
+                pass
+            os.remove(stop_path)
+
+        t = threading.Thread(target=consume, daemon=True)
+        t.start()
+        assert cli_main(["stop", "--model-dir", d, "--wait", "10"]) == 0
+        t.join(timeout=5)
+        assert "stop honored" in capsys.readouterr().out
