@@ -592,6 +592,7 @@ def cmd_supervise(args) -> int:
         stall_factor=args.stall_factor,
         startup_grace_s=args.startup_grace,
         max_restarts=args.max_restarts,
+        stop_grace_s=args.stop_grace,
     )
     return sup.run()
 
@@ -799,6 +800,9 @@ def main(argv=None) -> int:
                    help="seconds allowed before the FIRST heartbeat "
                    "(cold-compile window)")
     p.add_argument("--max-restarts", type=int, default=3)
+    p.add_argument("--stop-grace", type=float, default=600.0,
+                   help="on SIGTERM (graceful stop), seconds to wait for "
+                   "the child to checkpoint and exit before killing it")
     p.add_argument("train_args", nargs=argparse.REMAINDER,
                    help="arguments forwarded to the train subcommand "
                    "(must include --model-dir); prefix with --")

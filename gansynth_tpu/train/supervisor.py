@@ -27,6 +27,12 @@ heartbeat, so the pre-first-heartbeat window uses the larger
 ``startup_grace_s``; stage-boundary recompiles must fit inside
 ``min_stall_s`` (warm persistent-cache compiles do).
 
+Graceful preemption: SIGTERM to the supervisor (or
+:meth:`Supervisor.request_stop`) forwards a graceful stop — it writes the
+one-shot ``STOP`` file the training loop polls, waits up to
+``stop_grace_s`` for the child to checkpoint and exit 0, and never
+restarts past a stop request (a child too wedged to honor it is killed).
+
 Fault injection for tests: ``GANSYNTH_TRAIN_STALL="<step>:<flagfile>"``
 makes the training loop hang once it reaches ``<step>`` unless
 ``<flagfile>`` exists (it is created on the way into the hang), so a
@@ -56,6 +62,7 @@ class Supervisor:
         startup_grace_s: float = 1800.0,
         max_restarts: int = 3,
         poll_s: float = 0.5,
+        stop_grace_s: float = 600.0,
         log: Callable[[str], None] = print,
         child_env: Optional[dict] = None,
     ):
@@ -66,10 +73,13 @@ class Supervisor:
         self.startup_grace_s = float(startup_grace_s)
         self.max_restarts = int(max_restarts)
         self.poll_s = float(poll_s)
+        self.stop_grace_s = float(stop_grace_s)
         self.log = log
         self.child_env = child_env
         self.restarts = 0
         self.stalls_detected = 0
+        self.stop_requested = False
+        self._stop_deadline = float("inf")
 
     # -- child lifecycle ---------------------------------------------------
 
@@ -89,6 +99,33 @@ class Supervisor:
         except subprocess.TimeoutExpired:
             proc.kill()
             proc.wait(timeout=30)
+
+    # -- graceful stop -------------------------------------------------------
+
+    def request_stop(self) -> None:
+        """Forward a graceful stop to the child: write the one-shot STOP
+        file the training loop polls (see train/loop.py) and stop
+        restarting. The child checkpoints at its next superstep boundary
+        and exits 0; if it fails to within ``stop_grace_s`` (e.g. it is
+        the very wedge the watchdog exists for), it is killed — restart
+        never follows a stop request either way. Installed as the SIGTERM
+        handler by :meth:`run`, so ``kill <supervisor pid>`` is the
+        preemption-safe way to reclaim the device mid-run."""
+        if self.stop_requested:
+            return  # idempotent: repeated signals do not reset the grace
+        self.stop_requested = True
+        self._stop_deadline = time.monotonic() + self.stop_grace_s
+        path = os.path.join(self.model_dir, "STOP")
+        try:
+            os.makedirs(self.model_dir, exist_ok=True)
+            with open(path, "w") as f:
+                f.write("requested via supervisor SIGTERM\n")
+        except OSError as e:
+            self.log(f"supervisor: could not write STOP file: {e}")
+        self.log(
+            "supervisor: stop requested — wrote STOP; waiting up to "
+            f"{self.stop_grace_s:.0f}s for the child to checkpoint and exit"
+        )
 
     # -- heartbeat ---------------------------------------------------------
 
@@ -131,6 +168,13 @@ class Supervisor:
         while True:
             if proc.poll() is not None:
                 return "exit"
+            if self.stop_requested and time.monotonic() > self._stop_deadline:
+                self.log(
+                    "supervisor: child did not honor STOP within "
+                    f"{self.stop_grace_s:.0f}s (wedged?); killing it"
+                )
+                self._kill(proc)
+                return "stopkill"
             sig = self._signal()
             now = time.monotonic()
             if sig != last_sig:
@@ -155,14 +199,46 @@ class Supervisor:
     # -- main --------------------------------------------------------------
 
     def run(self) -> int:
-        """Supervise until the training child exits 0 (returns 0) or the
+        """Supervise until the training child exits 0 (returns 0), the
         restart budget is exhausted (returns the child's last nonzero
-        code, or 1 after a final stall)."""
+        code, or 1 after a final stall), or a graceful stop is requested
+        (SIGTERM or :meth:`request_stop` — returns the child's exit code;
+        never restarts past a stop request)."""
+        import signal
+        import threading
+
+        prev_handler = None
+        in_main = threading.current_thread() is threading.main_thread()
+        if in_main:
+            # `kill <supervisor pid>` == graceful preemption. Handlers are
+            # main-thread-only; embedded (threaded) supervisors use
+            # request_stop() directly.
+            prev_handler = signal.signal(
+                signal.SIGTERM, lambda signum, frame: self.request_stop()
+            )
+        try:
+            return self._run()
+        finally:
+            if in_main:
+                signal.signal(signal.SIGTERM, prev_handler)
+
+    def _run(self) -> int:
         while True:
             proc = self._spawn()
             outcome = self._watch(proc)
             if outcome == "exit" and proc.returncode == 0:
                 return 0
+            if self.stop_requested:
+                # A stop request ends supervision regardless of how the
+                # child went down: honored-then-exited-nonzero keeps the
+                # child's code; killed-past-grace reports failure.
+                why = (
+                    "was killed past the stop grace"
+                    if outcome == "stopkill"
+                    else f"exited {proc.returncode} after the stop request"
+                )
+                self.log(f"supervisor: child {why}; not restarting")
+                return 1 if outcome == "stopkill" else (proc.returncode or 1)
             why = (
                 "stalled"
                 if outcome == "stall"

@@ -159,3 +159,99 @@ class TestCliStop:
         assert cli_main(["stop", "--model-dir", d, "--wait", "10"]) == 0
         t.join(timeout=5)
         assert "stop honored" in capsys.readouterr().out
+
+
+class TestSupervisorStop:
+    """SIGTERM to the supervisor == graceful preemption (supervisor.py):
+    it writes the STOP file, the child checkpoints and exits 0, and the
+    supervisor returns 0 without restarting."""
+
+    TRAIN_ARGV = [
+        "--synthetic", "--num-steps", "4000", "--batch-size", "2",
+        "--latent-dim", "8", "--fmap-base", "64", "--fmap-max", "16",
+        "--fade-steps", "5000", "--stable-steps", "5000",
+        "--checkpoint-every", "1000", "--log-every", "1",
+    ]
+
+    @staticmethod
+    def _cpu_env():
+        import tests.test_supervisor as ts
+
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.update({
+            "GANSYNTH_PLATFORM": "cpu",
+            "JAX_PLATFORMS": "cpu",
+            "PYTHONPATH": ts.REPO_ROOT + os.pathsep
+            + env.get("PYTHONPATH", ""),
+        })
+        return env
+
+    def test_sigterm_stops_without_restart(self, tmp_path):
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        model_dir = str(tmp_path / "run")
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "gansynth_tpu.cli", "supervise",
+             "--stall-timeout", "120", "--startup-grace", "900",
+             "--stop-grace", "300", "--",
+             "--model-dir", model_dir, *self.TRAIN_ARGV],
+            env=self._cpu_env(),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        metrics = os.path.join(model_dir, "metrics.jsonl")
+        deadline = time.time() + 600
+        while time.time() < deadline and (
+            not os.path.exists(metrics) or os.path.getsize(metrics) == 0
+        ):
+            assert proc.poll() is None, proc.communicate()[0]
+            time.sleep(0.5)
+        assert os.path.exists(metrics), "child never produced a heartbeat"
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=300)
+        assert proc.returncode == 0, out
+        assert "stop requested" in out, out
+        assert "graceful stop: STOP file honored" in out, out
+        assert "restarting" not in out, out
+        assert not os.path.exists(os.path.join(model_dir, "STOP"))
+        from gansynth_tpu.utils.checkpoint import Checkpointer
+
+        assert Checkpointer(f"{model_dir}/checkpoints").latest_step()
+
+    def test_wedged_child_is_killed_past_stop_grace(self, tmp_path):
+        """A child too wedged to honor STOP (the watchdog's raison
+        d'etre) is killed after stop_grace_s and NOT restarted."""
+        from gansynth_tpu.train.supervisor import Supervisor
+
+        model_dir = str(tmp_path / "run")
+        flag = str(tmp_path / "stall.flag")
+        env = self._cpu_env()
+        env["GANSYNTH_TRAIN_STALL"] = f"2:{flag}"
+        msgs = []
+        sup = Supervisor(
+            ["--model-dir", model_dir, *self.TRAIN_ARGV],
+            model_dir,
+            min_stall_s=600.0, startup_grace_s=900.0,  # watchdog quiet
+            max_restarts=3, poll_s=0.2, stop_grace_s=8.0,
+            log=lambda m: msgs.append(m), child_env=env,
+        )
+        import threading
+        import time
+
+        def stop_once_wedged():
+            deadline = time.time() + 600
+            while time.time() < deadline and not os.path.exists(flag):
+                time.sleep(0.2)
+            sup.request_stop()
+
+        t = threading.Thread(target=stop_once_wedged, daemon=True)
+        t.start()
+        rc = sup.run()
+        t.join(timeout=10)
+        assert rc == 1, msgs
+        assert sup.restarts == 0, msgs
+        assert any("did not honor STOP" in m for m in msgs), msgs
+        assert any("not restarting" in m for m in msgs), msgs
