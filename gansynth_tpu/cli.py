@@ -613,7 +613,6 @@ def cmd_stop(args) -> int:
     print(f"stop requested: wrote {stop_path}", flush=True)
     if not args.wait:
         return 0
-    metrics = os.path.join(args.model_dir, "metrics.jsonl")
     deadline = time.time() + args.wait
     while time.time() < deadline:
         if not os.path.exists(stop_path):

@@ -28,6 +28,54 @@ from gansynth_tpu.train.step import pitch_to_onehot
 from gansynth_tpu.utils.config import Config
 
 
+def _full_wave(config: Config, image: jax.Array, stage: int) -> jax.Array:
+    """Image -> waveform tail shared by every sampler. Spectral synthesis
+    needs the full 128x1024 grid; below the final stage, nearest-upsample
+    the image first (debug/listen path — the reference's generate mode
+    only runs at the final stage)."""
+    factor = 1 << (config.model.num_stages - 1 - stage)
+    full = upsample_nearest(image, factor) if factor > 1 else image
+    return image_to_wave(full, config.audio)
+
+
+def _keyed_body(config: Config, stage: int):
+    """``(params, key, pitch) -> (wave, image)`` — ONE definition shared
+    by the single-device and data-parallel keyed samplers, so their math
+    cannot drift apart (the DP≡single-device equality tests pin it)."""
+    g = Generator(config.model)
+
+    def sample(params, key: jax.Array, pitch: jax.Array):
+        z = jax.random.normal(
+            key, (pitch.shape[0], config.model.latent_dim), jnp.float32
+        )
+        labels = pitch_to_onehot(pitch, config)
+        image = g.apply(params, z, labels, stage, jnp.float32(1.0))
+        return _full_wave(config, image, stage), image
+
+    return sample
+
+
+def _seeded_body(config: Config, stage: int):
+    """``(params, seeds, pitch) -> wave`` — ONE definition shared by the
+    single-device and data-parallel serving samplers. The serving
+    contract (per-note audio a pure function of ``(params, seed_i,
+    pitch_i)``) depends on both computing identical math."""
+    g = Generator(config.model)
+
+    def sample(params, seeds: jax.Array, pitch: jax.Array):
+        keys = jax.vmap(jax.random.key)(seeds.astype(jnp.uint32))
+        z = jax.vmap(
+            lambda k: jax.random.normal(
+                k, (config.model.latent_dim,), jnp.float32
+            )
+        )(keys)
+        labels = pitch_to_onehot(pitch, config)
+        image = g.apply(params, z, labels, stage, jnp.float32(1.0))
+        return _full_wave(config, image, stage)
+
+    return sample
+
+
 def make_sampler(config: Config, stage: Optional[int] = None):
     """Build ``sample(params, key, pitch) -> (wave [B, 64000], image)``.
 
@@ -36,24 +84,7 @@ def make_sampler(config: Config, stage: Optional[int] = None):
     batch size static per compile (shapes static under XLA).
     """
     stage = config.model.num_stages - 1 if stage is None else stage
-    g = Generator(config.model)
-
-    @jax.jit
-    def sample(params, key: jax.Array, pitch: jax.Array):
-        z = jax.random.normal(
-            key, (pitch.shape[0], config.model.latent_dim), jnp.float32
-        )
-        labels = pitch_to_onehot(pitch, config)
-        image = g.apply(params, z, labels, stage, jnp.float32(1.0))
-        # Spectral synthesis needs the full 128x1024 grid; below the final
-        # stage, nearest-upsample the image first (debug/listen path — the
-        # reference's generate mode only runs at the final stage).
-        factor = 1 << (config.model.num_stages - 1 - stage)
-        full = upsample_nearest(image, factor) if factor > 1 else image
-        wave = image_to_wave(full, config.audio)
-        return wave, image
-
-    return sample
+    return jax.jit(_keyed_body(config, stage))
 
 
 def make_seeded_sampler(config: Config, stage: Optional[int] = None):
@@ -67,23 +98,7 @@ def make_seeded_sampler(config: Config, stage: Optional[int] = None):
     request coalescing in the serving layer (serve.py) semantics-free.
     """
     stage = config.model.num_stages - 1 if stage is None else stage
-    g = Generator(config.model)
-
-    @jax.jit
-    def sample(params, seeds: jax.Array, pitch: jax.Array):
-        keys = jax.vmap(jax.random.key)(seeds.astype(jnp.uint32))
-        z = jax.vmap(
-            lambda k: jax.random.normal(
-                k, (config.model.latent_dim,), jnp.float32
-            )
-        )(keys)
-        labels = pitch_to_onehot(pitch, config)
-        image = g.apply(params, z, labels, stage, jnp.float32(1.0))
-        factor = 1 << (config.model.num_stages - 1 - stage)
-        full = upsample_nearest(image, factor) if factor > 1 else image
-        return image_to_wave(full, config.audio)
-
-    return sample
+    return jax.jit(_seeded_body(config, stage))
 
 
 def make_latent_sampler(config: Config, stage: Optional[int] = None):
@@ -127,21 +142,11 @@ def make_dp_sampler(config: Config, mesh, stage: Optional[int] = None):
     )
 
     stage = config.model.num_stages - 1 if stage is None else stage
-    g = Generator(config.model)
     rep, shard = replicated_sharding(mesh), batch_sharding(mesh)
-
-    def _sample(params, key, pitch):
-        z = jax.random.normal(
-            key, (pitch.shape[0], config.model.latent_dim), jnp.float32
-        )
-        labels = pitch_to_onehot(pitch, config)
-        image = g.apply(params, z, labels, stage, jnp.float32(1.0))
-        factor = 1 << (config.model.num_stages - 1 - stage)
-        full = upsample_nearest(image, factor) if factor > 1 else image
-        return image_to_wave(full, config.audio)
+    body = _keyed_body(config, stage)
 
     return jax.jit(
-        _sample,
+        lambda params, key, pitch: body(params, key, pitch)[0],
         in_shardings=(rep, None, shard),
         out_shardings=shard,
     )
@@ -167,24 +172,10 @@ def make_dp_seeded_sampler(config: Config, mesh, stage: Optional[int] = None):
     )
 
     stage = config.model.num_stages - 1 if stage is None else stage
-    g = Generator(config.model)
     rep, shard = replicated_sharding(mesh), batch_sharding(mesh)
 
-    def _sample(params, seeds: jax.Array, pitch: jax.Array):
-        keys = jax.vmap(jax.random.key)(seeds.astype(jnp.uint32))
-        z = jax.vmap(
-            lambda k: jax.random.normal(
-                k, (config.model.latent_dim,), jnp.float32
-            )
-        )(keys)
-        labels = pitch_to_onehot(pitch, config)
-        image = g.apply(params, z, labels, stage, jnp.float32(1.0))
-        factor = 1 << (config.model.num_stages - 1 - stage)
-        full = upsample_nearest(image, factor) if factor > 1 else image
-        return image_to_wave(full, config.audio)
-
     return jax.jit(
-        _sample,
+        _seeded_body(config, stage),
         in_shardings=(rep, shard, shard),
         out_shardings=shard,
     )

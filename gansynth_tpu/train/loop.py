@@ -22,9 +22,11 @@ barrier.
 Graceful stop (preemption-style): a ``STOP`` file in the workdir (written
 by ``cli stop``) makes the loop checkpoint at the next superstep boundary
 and return cleanly — exit 0 under ``cli supervise``, which therefore does
-not restart. The file is one-shot (consumed when honored); multi-host
-runs broadcast process 0's decision at log-cadence crossings so every
-process stops at the same step.
+not restart. The file is one-shot (consumed when honored); a file already
+present at startup is honored at the first boundary (never silently
+discarded — it may be a live request that raced a supervised child's
+spawn). Multi-host runs broadcast process 0's decision at log-cadence
+crossings so every process stops at the same step.
 """
 
 from __future__ import annotations
@@ -349,14 +351,18 @@ def train(
     if stop_path and os.path.exists(stop_path):
         import warnings
 
-        # A file that predates this invocation is a stale request aimed
-        # at a PREVIOUS run (or left by a kill that raced the consume);
-        # honoring it would stop a fresh run at its first boundary.
-        if jax.process_index() == 0:
-            os.remove(stop_path)
+        # A pre-existing file is HONORED (stop at the first boundary,
+        # with a checkpoint), not discarded: a request written between a
+        # supervised child's spawn and this scan (operator `cli stop`,
+        # supervisor SIGTERM — which writes exactly once) is
+        # indistinguishable from a stale leftover, and silently deleting
+        # a live request makes `stop --wait` report success while the
+        # run continues. A genuinely stale file just costs one clean
+        # boundary-checkpoint run that resumes normally afterwards.
         warnings.warn(
-            f"stale STOP file {stop_path} removed at startup; write it "
-            "again (or run `cli stop`) to stop THIS run",
+            f"STOP file {stop_path} already present at startup — this "
+            "run will checkpoint and exit at its first superstep "
+            "boundary (remove the file first if that is not intended)",
             stacklevel=2,
         )
 

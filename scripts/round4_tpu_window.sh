@@ -20,11 +20,21 @@ set -uo pipefail
 PIDFILE=${1:-/tmp/flagship_r4.pid}
 RUN_DIR=${2:-/root/repo/runs/flagship_r4}
 
-if [ -f "$PIDFILE" ]; then
+# The tunnel is single-tenant: starting eval/bench interpreters while
+# the flagship run is live can break its backend registration. A
+# missing pidfile therefore HARD-FAILS (pass the literal `none` to skip
+# the wait only when you know no TPU job is running).
+if [ "$PIDFILE" = "none" ]; then
+  echo "pidfile wait skipped by request (PIDFILE=none)"
+elif [ -f "$PIDFILE" ]; then
   pid=$(cat "$PIDFILE")
   echo "waiting for training supervisor (pid $pid) to exit..."
   while kill -0 "$pid" 2>/dev/null; do sleep 60; done
   echo "training exited at $(date)"
+else
+  echo "ERROR: pidfile $PIDFILE missing — refusing to contend with a" >&2
+  echo "possibly-live TPU run (pass PIDFILE=none to skip the wait)" >&2
+  exit 2
 fi
 
 cd /root/repo
@@ -35,9 +45,12 @@ timeout 3000 bash scripts/eval_r4.sh "$RUN_DIR" \
 tail -8 /tmp/r4_eval.log
 
 echo "=== committing flagship artifacts $(date) ==="
-git add "$RUN_DIR/ema.npz" "$RUN_DIR/metrics.jsonl" \
-        "$RUN_DIR/train_config.json" 2>/dev/null || true
-[ -f "$RUN_DIR/eval_full.json" ] && git add "$RUN_DIR/eval_full.json"
+# One guarded add per file: `git add existing missing` stages NOTHING
+# (all-or-nothing), which is exactly how round 3 lost its checkpoint.
+for f in ema.npz metrics.jsonl train_config.json eval_full.json; do
+  [ -f "$RUN_DIR/$f" ] && git add "$RUN_DIR/$f" \
+    || echo "(skip missing $RUN_DIR/$f)"
+done
 git commit -m "Flagship r4 anchor->release run: EMA weights, metrics, full eval" \
   || echo "(nothing to commit)"
 

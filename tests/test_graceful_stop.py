@@ -71,14 +71,23 @@ def test_stop_file_checkpoints_and_exits(tfrecord, tmp_path):
     assert not os.path.exists(stop_path)
 
 
-def test_stale_stop_file_is_removed_at_startup(tfrecord, tmp_path):
-    workdir = str(tmp_path / "stale")
+def test_startup_stop_file_is_honored_not_discarded(tfrecord, tmp_path):
+    """A STOP file already present when train() starts is a request that
+    may have raced a supervised child's spawn (cli stop / supervisor
+    SIGTERM write it exactly once) — it must be HONORED at the first
+    boundary, never silently deleted (which would make `stop --wait`
+    report success while the run continues)."""
+    workdir = str(tmp_path / "preexisting")
     os.makedirs(workdir)
     open(os.path.join(workdir, "STOP"), "w").close()
-    with pytest.warns(UserWarning, match="stale STOP file"):
-        state = train(TINY, data_iter(tfrecord), num_steps=3, workdir=workdir)
-    assert int(state.step) == 3  # ran to the horizon, not stopped at step 1
-    assert not os.path.exists(os.path.join(workdir, "STOP"))
+    with pytest.warns(UserWarning, match="already present at startup"):
+        state = train(TINY, data_iter(tfrecord), num_steps=9, workdir=workdir)
+    stopped_at = int(state.step)
+    assert stopped_at < 9  # stopped at the first boundary, not the horizon
+    from gansynth_tpu.utils.checkpoint import Checkpointer
+
+    assert Checkpointer(f"{workdir}/checkpoints").latest_step() == stopped_at
+    assert not os.path.exists(os.path.join(workdir, "STOP"))  # consumed
 
 
 def test_resume_after_stop_matches_uninterrupted(tfrecord, tmp_path):
