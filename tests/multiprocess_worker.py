@@ -127,6 +127,50 @@ def main() -> int:
             )
         )
 
+    # Multi-host graceful stop (train/loop.py's STOP broadcast): only
+    # process 0 sees a STOP file (each process gets its OWN workdir,
+    # mirroring per-host filesystems in a real pod); the log-cadence
+    # broadcast of process 0's decision must stop BOTH processes at the
+    # SAME step, or the SPMD programs would desync.
+    class _NoCkpt:
+        """Keeps this scenario free of orbax multi-host save
+        coordination (not what it tests)."""
+
+        def latest_step(self):
+            return None
+
+        def restore(self, state):
+            return state, None
+
+        def save(self, step, state):
+            pass
+
+        def wait(self):
+            pass
+
+    workdir = f"{outfile}.stopdir{pid}"
+    os.makedirs(workdir, exist_ok=True)
+    stop_file = os.path.join(workdir, "STOP")
+
+    def maybe_stop(step, stage, m):
+        if pid == 0 and step >= 2:
+            open(stop_file, "w").close()
+
+    cfg_s = dataclasses.replace(
+        config, train=dataclasses.replace(config.train, log_every=1)
+    )
+    st = train(
+        cfg_s,
+        local_batches(),
+        num_steps=50,
+        state=create_train_state(cfg_s, seed=2),
+        use_mesh=True,
+        workdir=workdir,
+        checkpointer=_NoCkpt(),
+        on_metrics=maybe_stop,
+    )
+    stop_step = int(st.step)
+
     with open(outfile, "w") as f:
         json.dump(
             {
@@ -136,6 +180,8 @@ def main() -> int:
                 "metrics": metrics_log,
                 "g_param_checksum": checksum,
                 "cached_checksums": cached_checksums,
+                "stop_step": stop_step,
+                "stop_consumed": not os.path.exists(stop_file),
             },
             f,
         )

@@ -95,6 +95,14 @@ class TestMultiProcessPod:
             a["cached_checksums"]["shard"], rel=1e-4
         )
 
+    def test_graceful_stop_broadcast(self, pod_results):
+        """Only process 0 sees the STOP file; the broadcast must stop
+        BOTH processes at the same step, and consume the request."""
+        a, b = pod_results
+        assert a["stop_step"] == b["stop_step"]
+        assert 2 <= a["stop_step"] < 50
+        assert a["stop_consumed"] and b["stop_consumed"]
+
     def test_matches_single_process(self, pod_results):
         """2-process DP ≡ single-device on the same global batch."""
         import jax
