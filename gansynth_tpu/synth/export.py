@@ -1,0 +1,180 @@
+"""Portable serving artifacts: the seeded sampler as serialized StableHLO.
+
+The reference ships generation as "load the Python model code + a
+checkpoint" (SURVEY.md §3.2 C3). For production serving that couples the
+deployed artifact to the training codebase; the TPU-native answer is
+`jax.export`: ahead-of-time lower the WHOLE synthesis program — EMA
+generator, mel pseudo-inverse, phase cumsum, matmul iSTFT — to one
+StableHLO module with the weights baked in as constants, serialize it,
+and run it anywhere a JAX runtime exists, with **zero** gansynth code or
+checkpoint files on the serving host.
+
+Design points:
+
+- **Self-contained**: params are closed over, so they are inlined into
+  the module as constants. One file is the whole synth (the fixed mel /
+  DFT matrices dominate the size floor at ~21 MiB; generator weights add
+  their fp32 size on top).
+- **Multi-platform**: lowered for ``("cpu", "tpu")`` by default —
+  `jax.export` embeds one module per platform and dispatches on the
+  runtime backend, so the same artifact serves on a TPU slice and in a
+  CPU canary/test job.
+- **Symbolic batch** (default): the batch dimension is exported as a
+  symbolic shape ``b``, so the serving layer's coalescing buckets
+  (serve.py) all call one artifact; XLA still specializes per concrete
+  batch at call time, exactly like the in-process sampler's per-shape
+  jit cache.
+- **Same contract as `make_seeded_sampler`**: per-note audio is a pure
+  function of ``(seed_i, pitch_i)`` (each note derives its latent from
+  its own key), so coalescing stays semantics-free. The loaded program
+  is deterministic (same inputs -> same bytes) and exact per note
+  within one batch shape; against the IN-PROCESS jit it agrees to
+  ~1e-4 relative, not bitwise — the AOT-lowered module is a different
+  XLA specialization, the same class of last-bits delta the DP sampler
+  documents (sampler.py `make_dp_seeded_sampler`). Measured on the
+  8-device CPU test mesh: 3.6e-5 relative under float32
+  (tests/test_export.py pins a 1e-3 bound); ~0.09 relative under a
+  bfloat16-compute model (round-3 flagship: waveform correlation
+  >= 0.996, identical fundamental — re-ordered bf16 rounding, not a
+  semantic change). ``export-model --check`` bounds both.
+
+Portability note: loading the CPU lowering on a host whose CPU features
+differ from the export machine's logs an XLA:CPU AOT machine-feature
+warning; execution falls back safely (the round-trip check is the
+arbiter — it verifies audio, not logs).
+
+File format (``.gsx``): an 8-byte magic, a big-endian u32 header length,
+a JSON header (format/version, step, stage, platforms, batch mode, and
+the full effective config for provenance), then the `jax.export`
+serialization bytes verbatim.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import struct
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from gansynth_tpu.synth.sampler import _seeded_body
+from gansynth_tpu.utils.config import Config
+
+GSX_MAGIC = b"GSYNTHX\n"
+GSX_FORMAT = "gansynth-tpu-exported-sampler"
+GSX_VERSION = 1
+
+
+def export_sampler(
+    config: Config,
+    params,
+    stage: Optional[int] = None,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    batch: Optional[int] = None,
+) -> jax_export.Exported:
+    """Lower the seeded sampler to a multi-platform `Exported`.
+
+    ``params`` (EMA generator params) are baked in as constants.
+    ``batch=None`` exports a symbolic batch dimension (any batch size at
+    call time); an int pins a static batch. Returns the `Exported`
+    object — use :func:`save_sampler_artifact` to persist it.
+    """
+    stage = config.model.num_stages - 1 if stage is None else stage
+    body = _seeded_body(config, stage)
+    fn = jax.jit(lambda seeds, pitch: body(params, seeds, pitch))
+    if batch is None:
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = int(batch)
+    spec = jax.ShapeDtypeStruct((b,), jnp.int32)
+    return jax_export.export(fn, platforms=tuple(platforms))(spec, spec)
+
+
+def save_sampler_artifact(
+    path: str,
+    config: Config,
+    params,
+    step: int,
+    stage: Optional[int] = None,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    batch: Optional[int] = None,
+) -> str:
+    """Export + serialize the sampler into one ``.gsx`` file at ``path``."""
+    stage = config.model.num_stages - 1 if stage is None else stage
+    exported = export_sampler(
+        config, params, stage=stage, platforms=platforms, batch=batch
+    )
+    blob = bytes(exported.serialize())
+    header = json.dumps(
+        {
+            "format": GSX_FORMAT,
+            "version": GSX_VERSION,
+            "step": int(step),
+            "stage": int(stage),
+            "platforms": list(exported.platforms),
+            "batch": "symbolic" if batch is None else int(batch),
+            "sample_rate": config.audio.sample_rate,
+            "pitch_min": config.model.pitch_min,
+            "pitch_max": config.model.pitch_max,
+            "config": dataclasses.asdict(config),
+        },
+        sort_keys=True,
+    ).encode("utf-8")
+    with open(path, "wb") as f:
+        f.write(GSX_MAGIC)
+        f.write(struct.pack(">I", len(header)))
+        f.write(header)
+        f.write(blob)
+    return path
+
+
+class ExportedSampler:
+    """A loaded ``.gsx`` artifact: ``sampler(seeds, pitch) -> wave``.
+
+    ``seeds``/``pitch`` are int32 arrays of equal length B (any B when
+    the artifact was exported with a symbolic batch); returns waveforms
+    ``[B, audio_length]`` float32. ``meta`` carries the JSON header
+    (step, stage, platforms, effective config)."""
+
+    def __init__(self, exported: jax_export.Exported, meta: dict):
+        self._exported = exported
+        self.meta = meta
+        self.platforms = tuple(meta["platforms"])
+        self.step = int(meta["step"])
+        self.stage = int(meta["stage"])
+        self.sample_rate = int(meta["sample_rate"])
+
+    def config(self) -> Config:
+        """Rebuild the effective `Config` recorded in the header."""
+        return Config().with_overrides(self.meta["config"])
+
+    def __call__(self, seeds, pitch) -> jax.Array:
+        seeds = jnp.asarray(seeds, jnp.int32)
+        pitch = jnp.asarray(pitch, jnp.int32)
+        if seeds.shape != pitch.shape:
+            raise ValueError(
+                f"seeds {seeds.shape} and pitch {pitch.shape} must match"
+            )
+        return self._exported.call(seeds, pitch)
+
+
+def load_sampler_artifact(path: str) -> ExportedSampler:
+    """Load a ``.gsx`` file written by :func:`save_sampler_artifact`."""
+    with open(path, "rb") as f:
+        magic = f.read(len(GSX_MAGIC))
+        if magic != GSX_MAGIC:
+            raise ValueError(f"{path}: not a gansynth export (bad magic)")
+        (hlen,) = struct.unpack(">I", f.read(4))
+        meta = json.loads(f.read(hlen).decode("utf-8"))
+        if meta.get("format") != GSX_FORMAT:
+            raise ValueError(f"{path}: unexpected format {meta.get('format')!r}")
+        if meta.get("version") != GSX_VERSION:
+            raise ValueError(
+                f"{path}: version {meta.get('version')} != {GSX_VERSION}"
+            )
+        blob = f.read()
+    exported = jax_export.deserialize(bytearray(blob))
+    return ExportedSampler(exported, meta)
