@@ -535,6 +535,30 @@ def _pitch_accuracy_summary(metrics: dict) -> str:
 def cmd_serve(args) -> int:
     from gansynth_tpu.serve import SynthesisService, serve_forever
 
+    if args.from_exported:
+        # Checkpoint-free serving from a .gsx StableHLO artifact: the
+        # effective config rides in the artifact header, so no
+        # model-dir, checkpoint, or model flags are needed at all.
+        from gansynth_tpu.synth.export import load_sampler_artifact
+
+        if args.data_parallel:
+            print("--from-exported is a single lowered program; it does "
+                  "not compose with --data-parallel")
+            return 2
+        loaded = load_sampler_artifact(args.from_exported)
+        service = SynthesisService(
+            loaded.config(), None, exported=loaded,
+            max_batch=args.max_batch,
+            max_queue_notes=args.max_queue_notes,
+            request_timeout_s=args.request_timeout,
+        )
+        print(f"artifact from step {loaded.step} (stage {loaded.stage}, "
+              f"platforms {','.join(loaded.platforms)}); warmup done")
+        serve_forever(service, args.host, args.port)
+        return 0
+    if not args.model_dir:
+        print("serve needs --model-dir (or --from-exported ART.gsx)")
+        return 2
     config = _build_config(args)
     sampler, step, stage, config = _restore_sampler(args, config)
     mesh = None
@@ -803,7 +827,12 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("serve", help="HTTP synthesis server (POST /synthesize)")
-    p.add_argument("--model-dir", required=True)
+    p.add_argument("--model-dir", default=None,
+                   help="run directory to restore (or use --from-exported)")
+    p.add_argument("--from-exported", default=None, metavar="ART.gsx",
+                   help="serve a portable StableHLO artifact written by "
+                   "export-model: checkpoint-free, no model flags needed "
+                   "(config rides in the artifact header)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8400)
     p.add_argument("--max-batch", type=int, default=16)

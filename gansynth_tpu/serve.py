@@ -72,6 +72,7 @@ class SynthesisService:
         max_queue_notes: int = 256,
         request_timeout_s: float = 30.0,
         mesh=None,
+        exported=None,
     ):
         import jax  # noqa: F401  (device runtime)
         import jax.numpy as jnp
@@ -90,7 +91,32 @@ class SynthesisService:
         self.max_queue_notes = max_queue_notes
         self.request_timeout_s = request_timeout_s
         self._jnp = jnp
-        if mesh is not None:
+        self.exported = exported is not None
+        if exported is not None:
+            # Checkpoint-free serving from a .gsx artifact
+            # (synth/export.py): the AOT-lowered program replaces the
+            # in-process sampler; no params live in the service at all.
+            # The artifact must carry a symbolic batch dim — the rung
+            # ladder calls one program at many batch sizes — and is a
+            # single-program module, so it composes with coalescing and
+            # backpressure but not with mesh sharding.
+            if mesh is not None:
+                raise ValueError(
+                    "artifact serving is a single lowered program; "
+                    "--data-parallel needs in-process params"
+                )
+            if exported.meta.get("batch") != "symbolic":
+                raise ValueError(
+                    "serving needs a symbolic-batch artifact (export "
+                    "without --batch); this one is pinned to batch "
+                    f"{exported.meta.get('batch')}"
+                )
+            n = 1
+            self._params = None
+            self._sample = lambda params, seeds, pitch: exported(
+                seeds, pitch
+            )
+        elif mesh is not None:
             # Data-parallel serving: one coalesced batch shards across the
             # slice (params replicated). Per-note audio is unchanged —
             # each note's latent derives from its own seed — so scaling
@@ -313,6 +339,9 @@ def make_server(service: SynthesisService, host: str = "127.0.0.1",
                     "request_timeout_s": service.request_timeout_s,
                     "num_pitches": m.num_pitches,
                     "sample_rate": service.config.audio.sample_rate,
+                    # True when serving a .gsx StableHLO artifact
+                    # (checkpoint-free; synth/export.py).
+                    "exported_artifact": service.exported,
                     # Byte-stability contract: a note's audio is a pure
                     # function of (params, seed, pitch) per batch RUNG
                     # and device placement; coalescing may move a request

@@ -374,3 +374,101 @@ class TestDataParallelServing:
             assert info["max_batch"] == 16
         finally:
             srv.shutdown()
+
+
+class TestExportedArtifactServing:
+    """Checkpoint-free serving from a .gsx StableHLO artifact
+    (synth/export.py): the AOT program replaces the in-process sampler;
+    coalescing, rungs, and the HTTP surface are unchanged."""
+
+    @pytest.fixture(scope="class")
+    def artifact(self, tmp_path_factory):
+        from gansynth_tpu.synth.export import save_sampler_artifact
+
+        state = create_train_state(CFG, seed=0)
+        path = str(tmp_path_factory.mktemp("gsx") / "srv.gsx")
+        save_sampler_artifact(
+            path, CFG, state.ema_params, step=9, stage=2
+        )
+        return path
+
+    @pytest.fixture(scope="class")
+    def exported_server(self, artifact):
+        from gansynth_tpu.synth.export import load_sampler_artifact
+
+        service = SynthesisService(
+            CFG, None, exported=load_sampler_artifact(artifact),
+            max_batch=4,
+        )
+        srv = make_server(service, port=0)
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+
+    def test_healthz_reports_artifact(self, exported_server):
+        with urllib.request.urlopen(
+            exported_server + "/healthz", timeout=30
+        ) as r:
+            info = json.loads(r.read())
+        assert info["exported_artifact"] is True
+        assert info["batch_ladder"] == [1, 4]
+
+    def test_synthesize_and_determinism(self, exported_server):
+        payload = {"pitches": [60, 72], "seed": 5, "format": "json"}
+        bodies = []
+        for _ in range(2):
+            with post(exported_server + "/synthesize", payload) as r:
+                bodies.append(r.read())
+        assert bodies[0] == bodies[1]  # per-seed determinism survives
+        obj = json.loads(bodies[0])
+        assert obj["num_notes"] == 2
+        wav = base64.b64decode(obj["wav_base64"])
+        with wavmod.open(io.BytesIO(wav)) as f:
+            assert f.getnframes() == 2 * CFG.audio.audio_length
+
+    def test_matches_in_process_service(self, artifact):
+        """Same seeds/pitches through the artifact service and the
+        in-process one agree to specialization noise (the artifact is
+        a different XLA lowering of the same program)."""
+        from gansynth_tpu.synth.export import load_sampler_artifact
+
+        state = create_train_state(CFG, seed=0)
+        svc_a = SynthesisService(
+            CFG, None, exported=load_sampler_artifact(artifact),
+            max_batch=4,
+        )
+        svc_b = SynthesisService(CFG, state.ema_params, stage=2, max_batch=4)
+        wa = svc_a.synthesize([60, 72], seed=5)
+        wb = svc_b.synthesize([60, 72], seed=5)
+        scale = max(1.0, float(np.max(np.abs(wb))))
+        assert float(np.max(np.abs(wa - wb))) <= 1e-3 * scale
+
+    def test_static_batch_artifact_rejected(self, tmp_path):
+        from gansynth_tpu.synth.export import (
+            load_sampler_artifact,
+            save_sampler_artifact,
+        )
+
+        state = create_train_state(CFG, seed=0)
+        path = str(tmp_path / "static.gsx")
+        save_sampler_artifact(
+            path, CFG, state.ema_params, step=1, stage=2, batch=4
+        )
+        with pytest.raises(ValueError, match="symbolic-batch"):
+            SynthesisService(
+                CFG, None, exported=load_sampler_artifact(path), max_batch=4
+            )
+
+    def test_mesh_and_artifact_exclusive(self, artifact):
+        from gansynth_tpu.synth.export import load_sampler_artifact
+
+        import jax
+        from gansynth_tpu.parallel import make_mesh
+
+        mesh = make_mesh(jax.devices())
+        with pytest.raises(ValueError, match="single lowered program"):
+            SynthesisService(
+                CFG, None, exported=load_sampler_artifact(artifact),
+                mesh=mesh, max_batch=8,
+            )
