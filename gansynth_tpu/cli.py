@@ -543,21 +543,27 @@ def cmd_serve(args) -> int:
 
         if args.data_parallel:
             print("--from-exported is a single lowered program; it does "
-                  "not compose with --data-parallel")
+                  "not compose with --data-parallel", file=sys.stderr)
             return 2
-        loaded = load_sampler_artifact(args.from_exported)
-        service = SynthesisService(
-            loaded.config(), None, exported=loaded,
-            max_batch=args.max_batch,
-            max_queue_notes=args.max_queue_notes,
-            request_timeout_s=args.request_timeout,
-        )
+        try:
+            loaded = load_sampler_artifact(args.from_exported)
+            service = SynthesisService(
+                loaded.config(), None, exported=loaded,
+                max_batch=args.max_batch,
+                max_queue_notes=args.max_queue_notes,
+                request_timeout_s=args.request_timeout,
+            )
+        except (OSError, ValueError) as e:
+            print(f"cannot serve {args.from_exported}: {e}",
+                  file=sys.stderr)
+            return 2
         print(f"artifact from step {loaded.step} (stage {loaded.stage}, "
               f"platforms {','.join(loaded.platforms)}); warmup done")
         serve_forever(service, args.host, args.port)
         return 0
     if not args.model_dir:
-        print("serve needs --model-dir (or --from-exported ART.gsx)")
+        print("serve needs --model-dir (or --from-exported ART.gsx)",
+              file=sys.stderr)
         return 2
     config = _build_config(args)
     sampler, step, stage, config = _restore_sampler(args, config)
@@ -611,7 +617,12 @@ def cmd_export_model(args) -> int:
     config = _build_config(args)
     sampler, step, stage, config = _restore_sampler(args, config)
     out = args.output or os.path.join(args.model_dir, "sampler.gsx")
-    platforms = tuple(p for p in args.platforms.split(",") if p)
+    platforms = tuple(
+        p.strip().lower() for p in args.platforms.split(",") if p.strip()
+    )
+    if not platforms:
+        print("--platforms must name at least one target", file=sys.stderr)
+        return 2
     save_sampler_artifact(
         out, config, sampler.params, step, stage=stage,
         platforms=platforms, batch=args.batch,
@@ -884,8 +895,10 @@ def main(argv=None) -> int:
                    help="pin a static batch size (default: symbolic — any "
                    "batch size at call time)")
     p.add_argument("--check", action="store_true",
-                   help="reload the artifact and verify bit-exact audio "
-                   "vs the in-process sampler on this backend")
+                   help="reload the artifact and verify its audio against "
+                   "the in-process sampler within the specialization-noise "
+                   "bound (1e-3 relative f32, 0.15 bf16 — never bitwise: "
+                   "the AOT module is a different XLA specialization)")
     p.add_argument("--stage", default="auto",
                    help="generator stage to export; 'auto' derives the "
                    "trained stage from the checkpoint step + schedule")

@@ -154,20 +154,35 @@ class ExportedSampler:
     def __call__(self, seeds, pitch) -> jax.Array:
         seeds = jnp.asarray(seeds, jnp.int32)
         pitch = jnp.asarray(pitch, jnp.int32)
-        if seeds.shape != pitch.shape:
+        if seeds.ndim != 1 or seeds.shape != pitch.shape:
             raise ValueError(
-                f"seeds {seeds.shape} and pitch {pitch.shape} must match"
+                f"seeds {seeds.shape} and pitch {pitch.shape} must match "
+                "and be rank-1 [B]"
             )
         return self._exported.call(seeds, pitch)
 
 
 def load_sampler_artifact(path: str) -> ExportedSampler:
     """Load a ``.gsx`` file written by :func:`save_sampler_artifact`."""
+    import os
+
     with open(path, "rb") as f:
         magic = f.read(len(GSX_MAGIC))
         if magic != GSX_MAGIC:
             raise ValueError(f"{path}: not a gansynth export (bad magic)")
-        (hlen,) = struct.unpack(">I", f.read(4))
+        lenbytes = f.read(4)
+        if len(lenbytes) != 4:
+            raise ValueError(f"{path}: truncated header length")
+        (hlen,) = struct.unpack(">I", lenbytes)
+        # Bound the declared header length by what the file can actually
+        # hold — a corrupt length field must fail fast, not attempt a
+        # multi-GiB read.
+        limit = os.fstat(f.fileno()).st_size - len(GSX_MAGIC) - 4
+        if hlen > limit:
+            raise ValueError(
+                f"{path}: header length {hlen} exceeds file size "
+                "(corrupt or truncated artifact)"
+            )
         meta = json.loads(f.read(hlen).decode("utf-8"))
         if meta.get("format") != GSX_FORMAT:
             raise ValueError(f"{path}: unexpected format {meta.get('format')!r}")

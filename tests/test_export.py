@@ -1,5 +1,6 @@
 """Portable serving artifact (`synth/export.py`): serialized-StableHLO
-sampler round trips — bit-exact audio, symbolic batch, metadata, and the
+sampler round trips — audio within specialization noise, symbolic batch,
+metadata, and the
 `export-model` CLI surface."""
 
 import dataclasses
@@ -119,6 +120,8 @@ def test_mismatched_seed_pitch_shapes_raise(artifact):
     loaded = load_sampler_artifact(artifact)
     with pytest.raises(ValueError, match="must match"):
         loaded(np.arange(2, dtype=np.int32), np.full((3,), 60, np.int32))
+    with pytest.raises(ValueError, match="rank-1"):
+        loaded(np.zeros((2, 2), np.int32), np.zeros((2, 2), np.int32))
 
 
 def test_bad_magic_rejected(tmp_path):
@@ -135,14 +138,29 @@ def test_truncated_header_rejected(tmp_path, artifact):
     path = str(tmp_path / "trunc.gsx")
     with open(path, "wb") as f:
         f.write(GSX_MAGIC + blob[len(GSX_MAGIC):len(GSX_MAGIC) + 2])
-    with pytest.raises(Exception):
+    with pytest.raises(ValueError, match="truncated"):
+        load_sampler_artifact(path)
+
+
+def test_corrupt_header_length_fails_fast(tmp_path, artifact):
+    """A bit-rotted length field must raise cleanly, not attempt a
+    multi-GiB read."""
+    import struct
+
+    with open(artifact, "rb") as f:
+        blob = f.read()
+    path = str(tmp_path / "corrupt.gsx")
+    with open(path, "wb") as f:
+        f.write(GSX_MAGIC + struct.pack(">I", 0xFFFFFFFF)
+                + blob[len(GSX_MAGIC) + 4:])
+    with pytest.raises(ValueError, match="exceeds file size"):
         load_sampler_artifact(path)
 
 
 def test_cli_export_model_check(params, tmp_path):
     """`export-model --check` on an archived run (ema.npz, no full
     checkpoint): writes the .gsx next to the model and verifies the
-    bit-exact round trip itself (exit 0)."""
+    round trip itself within the specialization-noise bound (exit 0)."""
     from gansynth_tpu.utils.checkpoint import save_ema_npz
 
     model_dir = str(tmp_path / "run")
