@@ -415,7 +415,19 @@ def image_to_wave(image: jax.Array, config: AudioConfig = AudioConfig()) -> jax.
             f"expected a 2-channel (log-mel-mag, mel-IF) image, got "
             f"{image.shape[-1]} channels"
         )
-    if config.synthesis_kernel == "pallas":
+    kern = config.synthesis_kernel
+    if kern == "auto":
+        # Measured default (BENCH_r04 kernel matrix): the fused Pallas
+        # spectrum kernel beats the XLA lowering on the flagship path
+        # (7887x vs 7532x real-time per chip); compiled Pallas needs an
+        # accelerator, so CPU resolves to the XLA lowering. Resolved at
+        # trace time — the choice is baked into each compiled program.
+        kern = "xla" if jax.default_backend() == "cpu" else "pallas"
+    elif kern not in ("xla", "pallas"):
+        raise ValueError(
+            f"synthesis_kernel {kern!r} is not one of 'auto'/'xla'/'pallas'"
+        )
+    if kern == "pallas":
         from gansynth_tpu.kernels import synthesis_spectrum_pallas
 
         squeeze = image.ndim == 3

@@ -54,10 +54,14 @@ class AudioConfig:
     # avoids 17 MB of baked constants in every training step).
     idft_mode: str = "matmul"
     dft_mode: str = "fft"
-    # Pre-iDFT synthesis chain: "xla" (reference lowering) or "pallas"
+    # Pre-iDFT synthesis chain: "xla" (reference lowering), "pallas"
     # (kernels/pallas_synthesis.py — one fused VMEM-resident kernel per
-    # batch element; equality-tested against the XLA path).
-    synthesis_kernel: str = "xla"
+    # batch element; equality-tested against the XLA path), or "auto"
+    # (pallas on accelerator backends, xla on CPU where compiled Pallas
+    # is unavailable). Default "auto" per the round-4 bench matrix:
+    # the Pallas kernel wins the flagship synthesis path on the real
+    # chip, 7887x vs 7532x real-time (BENCH_r04, +4.7%).
+    synthesis_kernel: str = "auto"
 
     @property
     def padded_length(self) -> int:

@@ -63,3 +63,14 @@ def test_image_to_wave_pallas_mode_matches_xla(image):
     denom = np.sum(w_xla**2)
     snr = 10 * np.log10(denom / max(np.sum(err**2), 1e-30))
     assert snr > 40.0
+
+
+def test_auto_kernel_resolves_to_xla_on_cpu(image):
+    """The 'auto' default (BENCH_r04: pallas wins on the chip) resolves
+    to the XLA lowering on CPU — bitwise-equal to an explicit 'xla'
+    config, since it is the SAME traced program."""
+    assert CFG.synthesis_kernel == "auto"
+    cfg_xla = dataclasses.replace(CFG, synthesis_kernel="xla")
+    w_auto = np.asarray(image_to_wave(jnp.asarray(image), CFG))
+    w_xla = np.asarray(image_to_wave(jnp.asarray(image), cfg_xla))
+    np.testing.assert_array_equal(w_auto, w_xla)
