@@ -472,3 +472,41 @@ class TestExportedArtifactServing:
                 CFG, None, exported=load_sampler_artifact(artifact),
                 mesh=mesh, max_batch=8,
             )
+
+
+class TestServeCliErrors:
+    """cmd_serve usage errors: one-line stderr message, exit 2 (no
+    server start, no traceback)."""
+
+    def test_no_model_dir_and_no_artifact(self, capsys):
+        from gansynth_tpu.cli import main as cli_main
+
+        assert cli_main(["serve"]) == 2
+        assert "needs --model-dir" in capsys.readouterr().err
+
+    def test_missing_artifact_file(self, capsys):
+        from gansynth_tpu.cli import main as cli_main
+
+        assert cli_main(["serve", "--from-exported", "/nope.gsx"]) == 2
+        assert "cannot serve /nope.gsx" in capsys.readouterr().err
+
+    def test_artifact_conflicts_with_data_parallel(self, capsys, tmp_path):
+        from gansynth_tpu.cli import main as cli_main
+
+        p = tmp_path / "x.gsx"
+        p.write_bytes(b"irrelevant")  # rejected before it is ever read
+        rc = cli_main(["serve", "--from-exported", str(p),
+                       "--data-parallel"])
+        assert rc == 2
+        assert "does not compose" in capsys.readouterr().err
+
+    def test_pinned_batch_artifact_rejected(self, capsys, tmp_path):
+        from gansynth_tpu.cli import main as cli_main
+        from gansynth_tpu.synth.export import save_sampler_artifact
+
+        state = create_train_state(CFG, seed=0)
+        p = str(tmp_path / "pinned.gsx")
+        save_sampler_artifact(p, CFG, state.ema_params, step=1, stage=1,
+                              batch=2)
+        assert cli_main(["serve", "--from-exported", p]) == 2
+        assert "symbolic-batch" in capsys.readouterr().err
