@@ -291,24 +291,28 @@ conv3x3_same.defvjp(_conv_fwd, _conv_bwd)
 
 
 def conv3x3_eligible(x_shape, kernel_shape) -> bool:
-    """Shapes the COMPILED kernel handles (the ladder's 64/128/256-channel
+    """Shapes the COMPILED kernel handles (the ladder's 128/256-channel
     stages).
 
-    C_in is a multiple of the 128-lane tile, OR exactly 64: Mosaic
-    physically pads the HBM memref's lane dimension to 128, and a DMA
-    slice over a 64-of-128 lane extent is rejected at compile time
-    (measured on the stage-6 shape) — so C=64 routes through the
-    pixel-pairing layout (``_conv3x3_pallas_paired``: two adjacent pixels
-    per flat row fill the 128 lanes against block-structured tap
-    kernels; 2x nominal FLOPs for full MXU occupancy vs the naive
-    layout's 4x systolic-array waste). Interpret mode (tests) accepts
-    any C_in.
+    C_in must be a multiple of the 128-lane tile: Mosaic physically pads
+    the HBM memref's lane dimension to 128, and a DMA slice over a
+    64-of-128 lane extent is rejected at compile time (measured on the
+    stage-6 shape). The C=64 pixel-pairing layout
+    (``_conv3x3_pallas_paired``) works around that, but the round-4
+    real-chip microbench retired it for COMPILED use: 4586 us vs XLA's
+    613 us forward on the stage-6 trunk conv (7.5x slower — the 2x
+    nominal-FLOP padding plus Mosaic's pipeline can't beat the XLA
+    emitter there; runs/flagship_r4/bench/r4_pallas_conv_bench.log), so
+    opt-in `conv_kernel='pallas'` users must not be routed onto it. It
+    stays reachable for interpret-mode tests and explicit benchmarking
+    (scripts/pallas_conv_bench.py calls it directly). Interpret mode
+    (tests) accepts any C_in.
     """
     if len(x_shape) != 4 or tuple(kernel_shape[:2]) != (3, 3):
         return False
     _, h, w, c_in = x_shape
     return (
-        (c_in % 128 == 0 or c_in == 64)
+        c_in % 128 == 0
         and c_in <= 512
         and w % 16 == 0
         and w >= 128

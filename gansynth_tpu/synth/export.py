@@ -68,6 +68,28 @@ GSX_FORMAT = "gansynth-tpu-exported-sampler"
 GSX_VERSION = 1
 
 
+def _portable_config(config: Config) -> Config:
+    """Pin the synthesis lowering to the portable 'xla' kernel for export.
+
+    `synthesis_kernel='auto'` resolves against `jax.default_backend()` at
+    TRACE time (ops/spectral.py), and `jax.export` traces ONCE for every
+    platform in the artifact — so exporting from a TPU-backed process
+    under 'auto'/'pallas' would bake a Mosaic `tpu_custom_call` into the
+    module, which cannot lower for the 'cpu' platform and is not on
+    `jax.export`'s stable custom-call allowlist (it may not deserialize
+    across jaxlib versions even TPU-only). Exported artifacts therefore
+    ALWAYS use the pure-StableHLO XLA lowering; the ~4.7% Pallas win
+    (BENCH_r04 kernel matrix) applies to in-process serving only. The
+    header records the pinned value so the artifact says what it runs.
+    """
+    if config.audio.synthesis_kernel == "xla":
+        return config
+    return dataclasses.replace(
+        config,
+        audio=dataclasses.replace(config.audio, synthesis_kernel="xla"),
+    )
+
+
 def export_sampler(
     config: Config,
     params,
@@ -80,8 +102,11 @@ def export_sampler(
     ``params`` (EMA generator params) are baked in as constants.
     ``batch=None`` exports a symbolic batch dimension (any batch size at
     call time); an int pins a static batch. Returns the `Exported`
-    object — use :func:`save_sampler_artifact` to persist it.
+    object — use :func:`save_sampler_artifact` to persist it. The
+    synthesis lowering is pinned to the portable XLA kernel regardless
+    of ``config.audio.synthesis_kernel`` (see :func:`_portable_config`).
     """
+    config = _portable_config(config)
     stage = config.model.num_stages - 1 if stage is None else stage
     body = _seeded_body(config, stage)
     fn = jax.jit(lambda seeds, pitch: body(params, seeds, pitch))
@@ -102,7 +127,13 @@ def save_sampler_artifact(
     platforms: Sequence[str] = ("cpu", "tpu"),
     batch: Optional[int] = None,
 ) -> str:
-    """Export + serialize the sampler into one ``.gsx`` file at ``path``."""
+    """Export + serialize the sampler into one ``.gsx`` file at ``path``.
+
+    The header's ``config`` records the EFFECTIVE exported config (with
+    ``synthesis_kernel`` pinned to 'xla' — `_portable_config`), so a
+    loaded artifact's provenance matches the program it actually runs.
+    """
+    config = _portable_config(config)
     stage = config.model.num_stages - 1 if stage is None else stage
     exported = export_sampler(
         config, params, stage=stage, platforms=platforms, batch=batch

@@ -25,8 +25,9 @@ and return cleanly — exit 0 under ``cli supervise``, which therefore does
 not restart. The file is one-shot (consumed when honored); a file already
 present at startup is honored at the first boundary (never silently
 discarded — it may be a live request that raced a supervised child's
-spawn). Multi-host runs broadcast process 0's decision at log-cadence
-crossings so every process stops at the same step.
+spawn). Multi-host runs OR-reduce the per-host file checks at
+log-cadence crossings so every process stops at the same step — the
+operator's ``cli stop`` may be executed on ANY host of the pod.
 """
 
 from __future__ import annotations
@@ -374,13 +375,17 @@ def train(
         # Multi-host: every process must take the SAME decision at the
         # SAME step or the SPMD programs desync. Evaluate only at
         # deterministic step crossings (log cadence bounds the stop
-        # latency) and broadcast process 0's answer.
+        # latency) and OR-reduce the per-host file checks — `cli stop`
+        # may be executed on ANY host of the pod (its filesystem is the
+        # only one the operator can reach), so process 0's view alone
+        # would silently ignore a request written elsewhere and leave
+        # its `--wait` reporting "no live run is polling it".
         if not _crossed(prev, new, max(config.train.log_every, 1)):
             return False
         from jax.experimental import multihost_utils
 
-        flag = jax.process_index() == 0 and os.path.exists(stop_path)
-        return bool(multihost_utils.broadcast_one_to_all(np.int32(flag)))
+        flag = np.int32(os.path.exists(stop_path))
+        return bool(multihost_utils.process_allgather(flag).max())
 
     def _stage_start(step: int) -> int:
         for _, seg_start, seg_end in schedule.stage_boundaries():
@@ -485,8 +490,10 @@ def train(
             _maybe_inject_stall(stall_spec, new_step)
         step_idx = new_step
         if stop_now:
-            if jax.process_index() == 0 and os.path.exists(stop_path):
-                os.remove(stop_path)  # one-shot: consume the request
+            # One-shot: consume the request on WHICHEVER host(s) hold the
+            # file (any host's STOP participates in the OR-reduce above).
+            if os.path.exists(stop_path):
+                os.remove(stop_path)
             print(
                 f"graceful stop: STOP file honored at step {new_step}; "
                 "checkpointed and exiting cleanly",

@@ -127,11 +127,12 @@ def main() -> int:
             )
         )
 
-    # Multi-host graceful stop (train/loop.py's STOP broadcast): only
-    # process 0 sees a STOP file (each process gets its OWN workdir,
-    # mirroring per-host filesystems in a real pod); the log-cadence
-    # broadcast of process 0's decision must stop BOTH processes at the
-    # SAME step, or the SPMD programs would desync.
+    # Multi-host graceful stop (train/loop.py's STOP OR-reduce): only
+    # process 1 sees a STOP file (each process gets its OWN workdir,
+    # mirroring per-host filesystems in a real pod — and an operator's
+    # `cli stop` may land on ANY host, not just process 0); the
+    # log-cadence OR-reduce of the per-host file checks must stop BOTH
+    # processes at the SAME step, or the SPMD programs would desync.
     class _NoCkpt:
         """Keeps this scenario free of orbax multi-host save
         coordination (not what it tests)."""
@@ -153,7 +154,7 @@ def main() -> int:
     stop_file = os.path.join(workdir, "STOP")
 
     def maybe_stop(step, stage, m):
-        if pid == 0 and step >= 2:
+        if pid == 1 and step >= 2:
             open(stop_file, "w").close()
 
     cfg_s = dataclasses.replace(

@@ -101,8 +101,34 @@ def test_metadata_and_config_roundtrip(artifact):
     assert set(loaded.platforms) == {"cpu", "tpu"}
     assert loaded.meta["batch"] == "symbolic"
     # The full effective config rides in the header for provenance and
-    # rebuilds exactly (lists re-tuple through with_overrides).
-    assert loaded.config() == CFG
+    # rebuilds exactly (lists re-tuple through with_overrides) — except
+    # synthesis_kernel, which export pins to the portable 'xla' lowering
+    # (export.py _portable_config; the default 'auto' would bake a
+    # non-serializable Mosaic custom call when traced on a TPU backend).
+    got = loaded.config()
+    assert got.audio.synthesis_kernel == "xla"
+    pinned = dataclasses.replace(
+        CFG, audio=dataclasses.replace(CFG.audio, synthesis_kernel="xla")
+    )
+    assert got == pinned
+
+
+@pytest.mark.parametrize("kernel", ["auto", "pallas"])
+def test_export_pins_portable_synthesis_kernel(params, tmp_path, kernel):
+    """Exporting under synthesis_kernel='auto'/'pallas' must produce a
+    pure-StableHLO artifact (header says 'xla') that loads and runs —
+    on a TPU-backed export process, tracing those kernels unpinned would
+    bake a Mosaic tpu_custom_call that cannot lower for 'cpu' and is
+    not on jax.export's stable custom-call allowlist."""
+    cfg = dataclasses.replace(
+        CFG, audio=dataclasses.replace(CFG.audio, synthesis_kernel=kernel)
+    )
+    path = str(tmp_path / f"{kernel}.gsx")
+    save_sampler_artifact(path, cfg, params, step=1, stage=STAGE)
+    loaded = load_sampler_artifact(path)
+    assert loaded.config().audio.synthesis_kernel == "xla"
+    wave = loaded(np.array([0], np.int32), np.array([60], np.int32))
+    assert np.isfinite(np.asarray(wave)).all()
 
 
 def test_static_batch_rejects_other_sizes(params, tmp_path):

@@ -96,7 +96,8 @@ class TestMultiProcessPod:
         )
 
     def test_graceful_stop_broadcast(self, pod_results):
-        """Only process 0 sees the STOP file; the broadcast must stop
+        """Only process 1 sees the STOP file (an operator's `cli stop`
+        can land on any pod host); the OR-reduce must stop
         BOTH processes at the same step, and consume the request."""
         a, b = pod_results
         assert a["stop_step"] == b["stop_step"]

@@ -84,8 +84,11 @@ def test_second_order_gp_style_matches_xla(rng):
 def test_eligibility_gate():
     assert conv3x3_eligible((8, 64, 512, 128), (3, 3, 128, 128))
     assert conv3x3_eligible((8, 32, 256, 256), (3, 3, 256, 256))
-    # C=64 (the stage-6 width) is eligible via the pixel-pairing layout
-    assert conv3x3_eligible((8, 128, 1024, 64), (3, 3, 64, 64))
+    # C=64 (the stage-6 width) is NOT eligible compiled: the pixel-pairing
+    # layout measured 7.5x slower than XLA on the real chip
+    # (runs/flagship_r4/bench/r4_pallas_conv_bench.log) and was retired;
+    # it stays reachable for interpret-mode tests + explicit benchmarks.
+    assert not conv3x3_eligible((8, 128, 1024, 64), (3, 3, 64, 64))
     # fromRGB's 2-channel input is not lane-friendly
     assert not conv3x3_eligible((8, 128, 1024, 2), (3, 3, 2, 64))
     # 1x1 kernels use the dense/elementwise paths
