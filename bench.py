@@ -64,11 +64,12 @@ def _flops_of(compiled) -> float:
     return float(_cost_of(compiled).get("flops", 0.0))
 
 
-def bench_train(args, jax, jnp) -> dict:
+def bench_train(args, jax, jnp, batch=None) -> dict:
     """Train-step metrics: steps/s + MFU at the final 128x1024 stage.
 
     K steps are fused into one lax.scan program (the framework's own
-    superstep); sync is a fetched loss scalar.
+    superstep); sync is a fetched loss scalar. ``batch`` overrides
+    ``args.train_batch`` (the batch-sweep entries reuse this body).
     """
     from gansynth_tpu.train import (
         create_train_state,
@@ -77,10 +78,11 @@ def bench_train(args, jax, jnp) -> dict:
     )
     from gansynth_tpu.utils.config import Config, ModelConfig, TrainConfig
 
+    train_batch = args.train_batch if batch is None else batch
     config = Config(
         model=ModelConfig(compute_dtype=args.dtype,
                           conv_kernel=args.conv_kernel),
-        train=TrainConfig(batch_size=args.train_batch,
+        train=TrainConfig(batch_size=train_batch,
                           fused_critic=args.fused_critic),
     )
     stage = (
@@ -93,11 +95,11 @@ def bench_train(args, jax, jnp) -> dict:
     k = args.train_scan_iters
     waves = jnp.asarray(
         (0.1 * rng.standard_normal(
-            (k, args.train_batch, config.audio.audio_length)
+            (k, train_batch, config.audio.audio_length)
         )).astype(np.float32)
     )
     pitches = jnp.asarray(
-        rng.integers(24, 85, (k, args.train_batch)), jnp.int32
+        rng.integers(24, 85, (k, train_batch)), jnp.int32
     )
     alphas = jnp.ones(k, jnp.float32)
     step = jax.jit(make_superstep(config, stage), donate_argnums=0)
@@ -141,8 +143,8 @@ def bench_train(args, jax, jnp) -> dict:
     )
     return {
         "train_steps_per_sec": round(1.0 / per_step, 3),
-        "train_examples_per_sec": round(args.train_batch / per_step, 2),
-        "train_batch": args.train_batch,
+        "train_examples_per_sec": round(train_batch / per_step, 2),
+        "train_batch": train_batch,
         "train_stage": stage,
         "train_fused_critic": args.fused_critic,
         "train_conv_kernel": args.conv_kernel,
@@ -157,6 +159,66 @@ def bench_train(args, jax, jnp) -> dict:
         "device_kind": device_kind,
         "peak_flops_known": peak_known,
         "train_peak_flops_assumed": peak,
+    }
+
+
+def bench_ingest(args) -> dict:
+    """Host-ingest throughput (SURVEY.md §7 hard part 4, measured).
+
+    Decodes NSynth-schema TFRecords through BOTH ingest paths — the
+    tf.data pipeline and the first-party C++ reader — with the full
+    training contract (parse + pitch filter + shuffle + batch) and
+    reports examples/s per path. The headline `ingest_examples_per_sec`
+    is the better path (the trainer selects either via `--ingest`);
+    `ingest_headroom_vs_chip` divides it by the measured per-chip device
+    demand (train_examples_per_sec when the train bench ran in the same
+    invocation, else the recorded round-4 demand of 66 ex/s/chip). Pod
+    scaling note: each host decodes only its shard of the global batch
+    (num_shards=process_count), so per-HOST demand equals per-chip
+    demand x chips-per-host; the headroom here is the single-host,
+    whole-file bound.
+    """
+    import os
+    import tempfile
+
+    from gansynth_tpu.data import (
+        make_native_iterator,
+        make_nsynth_iterator,
+        write_synthetic_tfrecords,
+    )
+    from gansynth_tpu.utils.config import Config
+
+    config = Config()
+    n_examples = args.ingest_examples
+    path = os.path.join(
+        tempfile.gettempdir(), f"gansynth_ingest_bench_{n_examples}.tfrecord"
+    )
+    if not os.path.exists(path):
+        write_synthetic_tfrecords(path, num_examples=n_examples, seed=0)
+
+    batch = 64
+    n_batches = max(2 * n_examples // batch, 8)  # ~2 epochs per timing
+
+    def eps(make_iterator) -> float:
+        it = make_iterator(
+            [path], config, acoustic_only=False, batch_size=batch,
+            shuffle=True, repeat=True, seed=0,
+        )
+        next(it)  # warmup: open file, fill shuffle buffer, first batch
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            wave, pitch = next(it)
+        dt = time.perf_counter() - t0
+        assert wave.shape == (batch, config.audio.audio_length)
+        return n_batches * batch / dt
+
+    tfdata = eps(make_nsynth_iterator)
+    native = eps(make_native_iterator)
+    return {
+        "ingest_tfdata_examples_per_sec": round(tfdata, 1),
+        "ingest_native_examples_per_sec": round(native, 1),
+        "ingest_examples_per_sec": round(max(tfdata, native), 1),
+        "ingest_bench_examples": n_examples,
     }
 
 
@@ -239,7 +301,15 @@ def main() -> int:
                         help="MXU compute dtype (params/spectral stay f32; "
                         "tests assert bf16~f32 output agreement)")
     parser.add_argument("--metric", default="all",
-                        choices=["all", "synthesis", "train"])
+                        choices=["all", "synthesis", "train", "ingest"])
+    parser.add_argument("--train-batch-sweep", default="4,8,16",
+                        help="comma-separated per-device batch sizes to "
+                        "sweep in the train bench (pins the 'examples/s "
+                        "flat with batch' bandwidth-bound evidence to a "
+                        "measurement; '' disables the sweep)")
+    parser.add_argument("--ingest-examples", type=int, default=512,
+                        help="fixture size for the host-ingest decode "
+                        "bench (~256 KiB/example on disk)")
     parser.add_argument("--train-batch", type=int, default=8)
     parser.add_argument("--train-stage", type=int, default=-1,
                         help="ladder stage to bench (-1 = final 128x1024); "
@@ -312,6 +382,38 @@ def main() -> int:
                 "vs_baseline": round(args.train_batch / per, 2),
             })
         record.update(train_record)
+        # Batch sweep (VERDICT r4 item 8): examples/s across per-device
+        # batches pins the bandwidth-bound diagnosis ("flat 8->16") to a
+        # committed measurement instead of prose.
+        sweep = [
+            int(b) for b in args.train_batch_sweep.split(",") if b
+        ] if args.train_batch_sweep else []
+        sweep_out = {}
+        for b in sweep:
+            if b == train_record["train_batch"]:
+                r = train_record
+            else:
+                r = bench_train(args, jax, jnp, batch=b)
+            sweep_out[str(b)] = {
+                "steps_per_sec": r["train_steps_per_sec"],
+                "examples_per_sec": r["train_examples_per_sec"],
+            }
+        if sweep_out:
+            record["train_batch_sweep"] = sweep_out
+    if args.metric in ("all", "ingest"):
+        ingest = bench_ingest(args)
+        demand = record.get("train_examples_per_sec") or 66.0
+        ingest["ingest_headroom_vs_chip"] = round(
+            ingest["ingest_examples_per_sec"] / demand, 1
+        )
+        if args.metric == "ingest":
+            record.update({
+                "metric": "ingest_examples_per_sec",
+                "value": ingest["ingest_examples_per_sec"],
+                "unit": "examples/s (host decode)",
+                "vs_baseline": ingest["ingest_headroom_vs_chip"],
+            })
+        record.update(ingest)
     print(json.dumps(record))
     return 0
 

@@ -140,3 +140,44 @@ class TestIngest:
             assert not wave.sharding.is_fully_replicated  # batch-sharded
             count += 1
         assert count == 4  # 32 / 8
+
+
+class TestIngestThroughput:
+    """SURVEY.md §7 hard part 4: host decode must outrun the device.
+
+    The measured stage-6 device demand is ~66 examples/s/chip
+    (BENCH_r04: 8.26 steps/s x batch 8); these floors pin BOTH ingest
+    paths to >= 2x that demand on fixture data, so a decode-path
+    regression that would starve the TPU fails CI before it reaches a
+    run. The real margin is far larger (bench.py --metric ingest
+    measured ~3.5k ex/s tf.data / ~1.1k ex/s native on this host); the
+    conservative floor keeps the assertion robust on slow CI hosts.
+    """
+
+    DEMAND_PER_CHIP = 66.0
+
+    @pytest.mark.parametrize("ingest", ["tfdata", "native"])
+    def test_decode_outruns_device_demand(self, tfrecord, ingest):
+        import time
+
+        if ingest == "native":
+            from gansynth_tpu.data.native_tfrecord import (
+                make_native_iterator as make_iterator,
+            )
+        else:
+            make_iterator = make_nsynth_iterator
+        it = make_iterator(
+            [tfrecord], CFG, batch_size=16, shuffle=True, repeat=True,
+            seed=0, shuffle_buffer=32,
+        )
+        next(it)  # open + shuffle-fill + first batch outside the timing
+        n_batches = 16
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            wave, _ = next(it)
+        eps = n_batches * 16 / (time.perf_counter() - t0)
+        assert wave.shape == (16, 64000)
+        assert eps >= 2 * self.DEMAND_PER_CHIP, (
+            f"{ingest} decode at {eps:.0f} ex/s cannot sustain 2x the "
+            f"{self.DEMAND_PER_CHIP} ex/s/chip device demand"
+        )
