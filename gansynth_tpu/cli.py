@@ -476,6 +476,40 @@ def cmd_roundtrip(args) -> int:
     return 0
 
 
+def cmd_validate_data(args) -> int:
+    import json as _json
+
+    from gansynth_tpu.data.validate import validate_data
+
+    for f in args.data:
+        if not os.path.exists(f):
+            print(f"error: {f}: no such file", file=sys.stderr)
+            return 2
+    report = validate_data(
+        args.data,
+        max_examples=args.max_examples,
+        ingest=args.ingest,
+        throughput_seconds=args.throughput_seconds,
+        train_stage=args.train_stage,
+        run_train_check=not args.skip_train_check,
+    )
+    if args.output:
+        with open(args.output, "w") as f:
+            _json.dump(report, f, indent=2, sort_keys=True)
+    print(_json.dumps(report))
+    if not report["ok"]:
+        print("validate-data: FAILED (see schema_problems / decode_ok / "
+              "train_check_ok above)", file=sys.stderr)
+        return 1
+    scanned = report["examples_scanned"]
+    print(f"validate-data: OK — {scanned} examples scanned, "
+          f"{report['trainable_acoustic_in_range']} trainable after the "
+          f"acoustic+pitch filters, decode "
+          f"{report['decode_examples_per_sec']:.0f} ex/s "
+          f"({report['decode_headroom_vs_chip']:.0f}x per-chip demand)")
+    return 0
+
+
 def cmd_evaluate(args) -> int:
     import json as _json
 
@@ -946,6 +980,30 @@ def main(argv=None) -> int:
     p.add_argument("--pitch", type=int, default=60)
     p.add_argument("--output", help="write reconstructed wav here")
     p.set_defaults(fn=cmd_roundtrip)
+
+    p = sub.add_parser(
+        "validate-data",
+        help="real-data readiness gate: schema completeness, pitch/family "
+        "distributions, decode throughput vs device demand, and one real "
+        "training superstep + spectral roundtrip on the files (run this "
+        "the day real NSynth TFRecords appear, before any training run)",
+    )
+    p.add_argument("--data", nargs="+", required=True, metavar="TFRECORD")
+    p.add_argument("--max-examples", type=int, default=2048,
+                   help="examples to scan for schema/distribution checks")
+    p.add_argument("--ingest", default="tfdata",
+                   choices=["tfdata", "native"],
+                   help="decode path for the throughput + training checks")
+    p.add_argument("--throughput-seconds", type=float, default=3.0,
+                   help="sustained-decode measurement window")
+    p.add_argument("--train-stage", type=int, default=2,
+                   help="ladder stage for the one-superstep check (low "
+                   "stages compile in seconds)")
+    p.add_argument("--skip-train-check", action="store_true",
+                   help="schema + throughput only (no device compile)")
+    p.add_argument("--output", default=None,
+                   help="also write the report JSON to this file")
+    p.set_defaults(fn=cmd_validate_data)
 
     p = sub.add_parser("fixtures", help="write synthetic NSynth TFRecords")
     p.add_argument("--output", required=True)
