@@ -416,8 +416,35 @@ def cmd_interpolate(args) -> int:
     from gansynth_tpu.synth.sampler import make_latent_sampler
     from gansynth_tpu.utils.audio_io import write_wav
 
-    config = _build_config(args)
-    sampler, _, stage, config = _restore_sampler(args, config)
+    loaded = None
+    if args.from_exported:
+        # Checkpoint-free morphing from a .gsx artifact: needs the
+        # latent program (export-model --with-latent); the effective
+        # config rides in the header.
+        from gansynth_tpu.synth.export import load_sampler_artifact
+
+        try:
+            loaded = load_sampler_artifact(args.from_exported)
+        except (OSError, ValueError) as e:
+            print(f"cannot interpolate from {args.from_exported}: {e}",
+                  file=sys.stderr)
+            return 2
+        if not loaded.has_latent:
+            print(
+                f"{args.from_exported} ships only the seeded serving "
+                "program; re-export with `export-model --with-latent` "
+                "to enable artifact-driven interpolation",
+                file=sys.stderr,
+            )
+            return 2
+        config, stage = loaded.config(), loaded.stage
+    elif args.model_dir:
+        config = _build_config(args)
+        sampler, _, stage, config = _restore_sampler(args, config)
+    else:
+        print("interpolate needs --model-dir (or --from-exported ART.gsx)",
+              file=sys.stderr)
+        return 2
     d = config.model.latent_dim
     # Endpoints derive from per-note seeds exactly like the serving path
     # (synth.make_seeded_sampler): a pure function of (params, seed, pitch).
@@ -429,9 +456,12 @@ def cmd_interpolate(args) -> int:
         args.pitch, pitch_b, args.steps,
         config.model.pitch_min, config.model.num_pitches,
     )
-    sample = make_latent_sampler(config, stage)
-    waves, _ = sample(sampler.params, z, labels)
-    waves = np.asarray(waves)
+    if loaded is not None:
+        waves = np.asarray(loaded.latent(z, labels))
+    else:
+        sample = make_latent_sampler(config, stage)
+        waves, _ = sample(sampler.params, z, labels)
+        waves = np.asarray(waves)
     os.makedirs(args.output_dir, exist_ok=True)
     for i, t in enumerate(np.linspace(0.0, 1.0, args.steps)):
         out = os.path.join(args.output_dir, f"interp_{i:02d}_t{t:.2f}.wav")
@@ -660,11 +690,14 @@ def cmd_export_model(args) -> int:
     save_sampler_artifact(
         out, config, sampler.params, step, stage=stage,
         platforms=platforms, batch=args.batch,
+        with_latent=args.with_latent,
     )
     size = os.path.getsize(out) / 2**20
     batch_desc = "symbolic" if args.batch is None else str(args.batch)
+    progs = "seeded+latent" if args.with_latent else "seeded"
     print(f"wrote {out} ({size:.1f} MiB, step {step}, stage {stage}, "
-          f"platforms {','.join(platforms)}, batch {batch_desc})")
+          f"platforms {','.join(platforms)}, batch {batch_desc}, "
+          f"programs {progs})")
     if args.check:
         from gansynth_tpu.synth.sampler import make_seeded_sampler
 
@@ -825,7 +858,12 @@ def main(argv=None) -> int:
         help="render a latent morph (timbre) / pitch glide between "
              "two notes as per-step wavs + one crossfaded morph.wav",
     )
-    p.add_argument("--model-dir", required=True)
+    p.add_argument("--model-dir", default=None,
+                   help="run directory to restore (or use --from-exported)")
+    p.add_argument("--from-exported", default=None, metavar="ART.gsx",
+                   help="render from a portable artifact instead of a "
+                   "checkpoint — requires one exported with "
+                   "`export-model --with-latent`")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--pitch", type=int, default=60,
                    help="MIDI pitch (24..84) of the morph")
@@ -928,6 +966,10 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=None,
                    help="pin a static batch size (default: symbolic — any "
                    "batch size at call time)")
+    p.add_argument("--with-latent", action="store_true",
+                   help="also ship the latent-space program so "
+                   "`interpolate --from-exported` works checkpoint-free "
+                   "(~2x file size: constants are inlined per program)")
     p.add_argument("--check", action="store_true",
                    help="reload the artifact and verify its audio against "
                    "the in-process sampler within the specialization-noise "

@@ -46,7 +46,28 @@ arbiter — it verifies audio, not logs).
 File format (``.gsx``): an 8-byte magic, a big-endian u32 header length,
 a JSON header (format/version, step, stage, platforms, batch mode, and
 the full effective config for provenance), then the `jax.export`
-serialization bytes verbatim.
+serialization bytes. Version 2 headers carry a ``programs`` table
+(name + byte length, in file order) so one artifact can ship several
+entry points; version-1 files (a single seeded program as the file
+tail) still load.
+
+Programs:
+
+- ``seeded`` (always present): ``(seeds [b] i32, pitch [b] i32) ->
+  wave [b, T]`` — the serving entry point.
+- ``latent`` (opt-in, ``export-model --with-latent``): ``(z [b, D] f32,
+  labels [b, P] f32) -> wave [b, T]`` — the interpolation/morph entry
+  point (``cli interpolate --from-exported``), same math as
+  `make_latent_sampler` (sampler.py `_latent_body`).
+
+Size budget: each program inlines its constants, so the fixed synthesis
+matrices (mel pseudo-inverse + iDFT bases, ~21 MiB at 128x1024) and the
+fp32 generator weights are paid ONCE PER PROGRAM — ``--with-latent``
+doubles the file (measured on the flagship model, cpu+tpu platforms,
+symbolic batch: 54.6 MiB seeded-only, 109.2 MiB both programs).
+Multi-platform lowering shares constants (one module,
+platform-dispatched), so platforms are ~free; programs are not. Keep
+serving artifacts seeded-only unless the host actually morphs.
 """
 
 from __future__ import annotations
@@ -60,12 +81,17 @@ import jax
 import jax.numpy as jnp
 from jax import export as jax_export
 
-from gansynth_tpu.synth.sampler import _seeded_body
+from gansynth_tpu.synth.sampler import _latent_body, _seeded_body
 from gansynth_tpu.utils.config import Config
 
 GSX_MAGIC = b"GSYNTHX\n"
 GSX_FORMAT = "gansynth-tpu-exported-sampler"
-GSX_VERSION = 1
+GSX_VERSION = 2
+# Versions this loader understands. v1 = a single seeded program as the
+# file tail (no `programs` table); v2 adds the table + optional latent
+# program. Anything newer fails with an upgrade hint, never a deserialize
+# crash on bytes it cannot interpret.
+GSX_KNOWN_VERSIONS = (1, 2)
 
 
 def _portable_config(config: Config) -> Config:
@@ -118,6 +144,37 @@ def export_sampler(
     return jax_export.export(fn, platforms=tuple(platforms))(spec, spec)
 
 
+def export_latent_sampler(
+    config: Config,
+    params,
+    stage: Optional[int] = None,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    batch: Optional[int] = None,
+) -> jax_export.Exported:
+    """Lower the explicit-latent sampler ``(z [b, D], labels [b, P]) ->
+    wave [b, T]`` to a multi-platform `Exported` — the artifact entry
+    point behind checkpoint-free interpolation/morphing. Same math as
+    `make_latent_sampler` (shared `_latent_body`); the image output is
+    dropped so the serving host only transfers audio."""
+    config = _portable_config(config)
+    stage = config.model.num_stages - 1 if stage is None else stage
+    body = _latent_body(config, stage)
+    fn = jax.jit(lambda z, labels: body(params, z, labels)[0])
+    if batch is None:
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = int(batch)
+    z_spec = jax.ShapeDtypeStruct(
+        (b, config.model.latent_dim), jnp.float32
+    )
+    label_spec = jax.ShapeDtypeStruct(
+        (b, config.model.num_pitches), jnp.float32
+    )
+    return jax_export.export(fn, platforms=tuple(platforms))(
+        z_spec, label_spec
+    )
+
+
 def save_sampler_artifact(
     path: str,
     config: Config,
@@ -126,19 +183,28 @@ def save_sampler_artifact(
     stage: Optional[int] = None,
     platforms: Sequence[str] = ("cpu", "tpu"),
     batch: Optional[int] = None,
+    with_latent: bool = False,
 ) -> str:
     """Export + serialize the sampler into one ``.gsx`` file at ``path``.
 
     The header's ``config`` records the EFFECTIVE exported config (with
     ``synthesis_kernel`` pinned to 'xla' — `_portable_config`), so a
     loaded artifact's provenance matches the program it actually runs.
+    ``with_latent=True`` additionally ships the latent-space program
+    (~2x file size — constants are per-program; see the module
+    docstring's size budget).
     """
     config = _portable_config(config)
     stage = config.model.num_stages - 1 if stage is None else stage
     exported = export_sampler(
         config, params, stage=stage, platforms=platforms, batch=batch
     )
-    blob = bytes(exported.serialize())
+    blobs = [("seeded", bytes(exported.serialize()))]
+    if with_latent:
+        latent = export_latent_sampler(
+            config, params, stage=stage, platforms=platforms, batch=batch
+        )
+        blobs.append(("latent", bytes(latent.serialize())))
     header = json.dumps(
         {
             "format": GSX_FORMAT,
@@ -150,6 +216,9 @@ def save_sampler_artifact(
             "sample_rate": config.audio.sample_rate,
             "pitch_min": config.model.pitch_min,
             "pitch_max": config.model.pitch_max,
+            "programs": [
+                {"name": name, "bytes": len(blob)} for name, blob in blobs
+            ],
             "config": dataclasses.asdict(config),
         },
         sort_keys=True,
@@ -158,7 +227,8 @@ def save_sampler_artifact(
         f.write(GSX_MAGIC)
         f.write(struct.pack(">I", len(header)))
         f.write(header)
-        f.write(blob)
+        for _, blob in blobs:
+            f.write(blob)
     return path
 
 
@@ -168,15 +238,42 @@ class ExportedSampler:
     ``seeds``/``pitch`` are int32 arrays of equal length B (any B when
     the artifact was exported with a symbolic batch); returns waveforms
     ``[B, audio_length]`` float32. ``meta`` carries the JSON header
-    (step, stage, platforms, effective config)."""
+    (step, stage, platforms, effective config). When the artifact was
+    written with ``with_latent=True``, :meth:`latent` renders from
+    explicit latents + soft pitch labels (the interpolation surface)."""
 
-    def __init__(self, exported: jax_export.Exported, meta: dict):
+    def __init__(self, exported: jax_export.Exported, meta: dict,
+                 latent: Optional[jax_export.Exported] = None):
         self._exported = exported
+        self._latent = latent
         self.meta = meta
         self.platforms = tuple(meta["platforms"])
         self.step = int(meta["step"])
         self.stage = int(meta["stage"])
         self.sample_rate = int(meta["sample_rate"])
+
+    @property
+    def has_latent(self) -> bool:
+        return self._latent is not None
+
+    def latent(self, z, labels) -> jax.Array:
+        """``(z [B, D] f32, labels [B, num_pitches] f32) -> wave [B, T]``.
+
+        Raises ValueError when the artifact ships only the seeded
+        program (v1 files, or v2 exported without ``--with-latent``)."""
+        if self._latent is None:
+            raise ValueError(
+                "artifact has no latent program (re-export with "
+                "--with-latent to enable interpolation)"
+            )
+        z = jnp.asarray(z, jnp.float32)
+        labels = jnp.asarray(labels, jnp.float32)
+        if z.ndim != 2 or labels.ndim != 2 or z.shape[0] != labels.shape[0]:
+            raise ValueError(
+                f"z {z.shape} and labels {labels.shape} must be rank-2 "
+                "[B, D] / [B, num_pitches] with matching B"
+            )
+        return self._latent.call(z, labels)
 
     def config(self) -> Config:
         """Rebuild the effective `Config` recorded in the header."""
@@ -217,10 +314,30 @@ def load_sampler_artifact(path: str) -> ExportedSampler:
         meta = json.loads(f.read(hlen).decode("utf-8"))
         if meta.get("format") != GSX_FORMAT:
             raise ValueError(f"{path}: unexpected format {meta.get('format')!r}")
-        if meta.get("version") != GSX_VERSION:
+        version = meta.get("version")
+        if version not in GSX_KNOWN_VERSIONS:
             raise ValueError(
-                f"{path}: version {meta.get('version')} != {GSX_VERSION}"
+                f"{path}: format version {version} is newer than this "
+                f"gansynth_tpu understands (known: "
+                f"{list(GSX_KNOWN_VERSIONS)}) — upgrade the package"
             )
-        blob = f.read()
-    exported = jax_export.deserialize(bytearray(blob))
-    return ExportedSampler(exported, meta)
+        if version == 1:
+            # v1: the whole file tail is one seeded program.
+            programs = {"seeded": f.read()}
+        else:
+            programs = {}
+            for entry in meta["programs"]:
+                blob = f.read(int(entry["bytes"]))
+                if len(blob) != int(entry["bytes"]):
+                    raise ValueError(
+                        f"{path}: program {entry['name']!r} truncated "
+                        f"({len(blob)} of {entry['bytes']} bytes)"
+                    )
+                programs[str(entry["name"])] = blob
+    if "seeded" not in programs:
+        raise ValueError(f"{path}: artifact has no 'seeded' program")
+    exported = jax_export.deserialize(bytearray(programs["seeded"]))
+    latent = None
+    if "latent" in programs:
+        latent = jax_export.deserialize(bytearray(programs["latent"]))
+    return ExportedSampler(exported, meta, latent=latent)

@@ -101,20 +101,13 @@ def make_seeded_sampler(config: Config, stage: Optional[int] = None):
     return jax.jit(_seeded_body(config, stage))
 
 
-def make_latent_sampler(config: Config, stage: Optional[int] = None):
-    """Explicit-latent sampler: ``sample(params, z [B, D], labels
-    [B, num_pitches]) -> (wave [B, 64000], image)``.
-
-    The latent AND the conditioning row are caller-supplied instead of
-    drawn from a key — the surface the interpolation path
-    (``synth/interpolate.py``, ``cli interpolate``) renders through:
-    slerp'd latents and soft (lerp'd one-hot) pitch labels batch through
-    ONE jitted generator call.
-    """
-    stage = config.model.num_stages - 1 if stage is None else stage
+def _latent_body(config: Config, stage: int):
+    """``(params, z, labels) -> (wave, image)`` — ONE definition shared
+    by the in-process latent sampler and the exported artifact's latent
+    program (synth/export.py), so checkpoint-driven and artifact-driven
+    interpolation render identical math."""
     g = Generator(config.model)
 
-    @jax.jit
     def sample(params, z: jax.Array, labels: jax.Array):
         image = g.apply(
             params,
@@ -128,6 +121,20 @@ def make_latent_sampler(config: Config, stage: Optional[int] = None):
         return image_to_wave(full, config.audio), image
 
     return sample
+
+
+def make_latent_sampler(config: Config, stage: Optional[int] = None):
+    """Explicit-latent sampler: ``sample(params, z [B, D], labels
+    [B, num_pitches]) -> (wave [B, 64000], image)``.
+
+    The latent AND the conditioning row are caller-supplied instead of
+    drawn from a key — the surface the interpolation path
+    (``synth/interpolate.py``, ``cli interpolate``) renders through:
+    slerp'd latents and soft (lerp'd one-hot) pitch labels batch through
+    ONE jitted generator call.
+    """
+    stage = config.model.num_stages - 1 if stage is None else stage
+    return jax.jit(_latent_body(config, stage))
 
 
 def make_dp_sampler(config: Config, mesh, stage: Optional[int] = None):

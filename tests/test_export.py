@@ -202,3 +202,137 @@ def test_cli_export_model_check(params, tmp_path):
     assert os.path.exists(out)
     loaded = load_sampler_artifact(out)
     assert loaded.step == 7 and loaded.stage == STAGE
+
+
+# ---- format-v2 lifecycle (programs table, latent entry point) ----
+
+
+def _rewrite_header(src, dst, mutate):
+    """Rewrite an artifact's JSON header through ``mutate(meta) -> meta``,
+    keeping the program bytes verbatim."""
+    import struct
+
+    with open(src, "rb") as f:
+        assert f.read(len(GSX_MAGIC)) == GSX_MAGIC
+        (hlen,) = struct.unpack(">I", f.read(4))
+        meta = json.loads(f.read(hlen).decode("utf-8"))
+        tail = f.read()
+    header = json.dumps(mutate(meta), sort_keys=True).encode("utf-8")
+    with open(dst, "wb") as f:
+        f.write(GSX_MAGIC + struct.pack(">I", len(header)) + header + tail)
+    return dst
+
+
+def test_future_version_rejected_with_upgrade_hint(tmp_path, artifact):
+    """A file from a NEWER package version must fail with a readable
+    upgrade hint, never a deserialize crash on bytes this loader cannot
+    interpret."""
+    path = _rewrite_header(
+        artifact, str(tmp_path / "future.gsx"),
+        lambda m: {**m, "version": 99},
+    )
+    with pytest.raises(ValueError, match="newer.*upgrade"):
+        load_sampler_artifact(path)
+
+
+def test_v1_artifact_still_loads(tmp_path, artifact):
+    """Round-4 artifacts (version 1: no programs table, seeded program as
+    the file tail) keep loading and serving."""
+    path = _rewrite_header(
+        artifact, str(tmp_path / "v1.gsx"),
+        lambda m: {k: v for k, v in m.items() if k != "programs"}
+        | {"version": 1},
+    )
+    loaded = load_sampler_artifact(path)
+    assert not loaded.has_latent
+    wave = loaded(np.array([3], np.int32), np.array([60], np.int32))
+    assert np.isfinite(np.asarray(wave)).all()
+    with pytest.raises(ValueError, match="no latent program"):
+        loaded.latent(np.zeros((1, CFG.model.latent_dim), np.float32),
+                      np.zeros((1, CFG.model.num_pitches), np.float32))
+
+
+def test_truncated_program_bytes_rejected(tmp_path, artifact):
+    with open(artifact, "rb") as f:
+        blob = f.read()
+    path = str(tmp_path / "cut.gsx")
+    with open(path, "wb") as f:
+        f.write(blob[:-64])  # drop the seeded program's tail
+    with pytest.raises(ValueError, match="truncated"):
+        load_sampler_artifact(path)
+
+
+@pytest.fixture(scope="module")
+def latent_artifact(params, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("gsx_latent") / "sampler.gsx")
+    save_sampler_artifact(
+        path, CFG, params, step=123, stage=STAGE, with_latent=True
+    )
+    return path
+
+
+def test_latent_program_matches_in_process(params, artifact,
+                                           latent_artifact):
+    """The shipped latent program renders the same audio as the
+    in-process `make_latent_sampler` (shared `_latent_body`), within the
+    AOT-specialization noise bound; the seeded program is unaffected."""
+    from gansynth_tpu.synth.sampler import make_latent_sampler
+
+    loaded = load_sampler_artifact(latent_artifact)
+    assert loaded.has_latent
+    rng = np.random.default_rng(0)
+    z = rng.normal(size=(3, CFG.model.latent_dim)).astype(np.float32)
+    labels = np.zeros((3, CFG.model.num_pitches), np.float32)
+    labels[np.arange(3), [0, 10, 20]] = 1.0
+    direct, _ = make_latent_sampler(CFG, STAGE)(params, z, labels)
+    direct = np.asarray(direct)
+    got = np.asarray(loaded.latent(z, labels))
+    rel = np.linalg.norm(direct - got) / (np.linalg.norm(direct) + 1e-30)
+    assert rel < 1e-3
+    # Seeded entry point still present and callable from the same file.
+    wave = loaded(np.arange(2, dtype=np.int32), np.full((2,), 60, np.int32))
+    assert wave.shape == (2, CFG.audio.audio_length)
+
+
+def test_latent_shape_validation(latent_artifact):
+    loaded = load_sampler_artifact(latent_artifact)
+    with pytest.raises(ValueError, match="rank-2"):
+        loaded.latent(np.zeros((CFG.model.latent_dim,), np.float32),
+                      np.zeros((CFG.model.num_pitches,), np.float32))
+
+
+def test_with_latent_size_budget(artifact, latent_artifact):
+    """Constants are inlined per program, so --with-latent costs about
+    one more copy of the weights+matrices — the documented ~2x budget
+    (export.py docstring). Pin it is neither free nor runaway."""
+    seeded = os.path.getsize(artifact)
+    both = os.path.getsize(latent_artifact)
+    assert 1.3 * seeded < both < 3.0 * seeded
+
+
+def test_cli_interpolate_from_exported(latent_artifact, artifact, tmp_path,
+                                       capsys):
+    out = str(tmp_path / "morph")
+    rc = cli_main([
+        "interpolate", "--from-exported", latent_artifact,
+        "--output-dir", out, "--pitch", "50", "--pitch-b", "70",
+        "--steps", "3",
+    ])
+    assert rc == 0
+    wavs = sorted(os.listdir(out))
+    assert "morph.wav" in wavs and len(wavs) == 4
+    # A seeded-only artifact is a usage error with a re-export hint.
+    rc = cli_main([
+        "interpolate", "--from-exported", artifact, "--output-dir", out,
+    ])
+    assert rc == 2
+    assert "--with-latent" in capsys.readouterr().err
+    # Corrupt artifacts map to exit 2, not a traceback.
+    junk = str(tmp_path / "junk.gsx")
+    with open(junk, "wb") as f:
+        f.write(b"garbage")
+    rc = cli_main(["interpolate", "--from-exported", junk,
+                   "--output-dir", out])
+    assert rc == 2
+    # Neither --model-dir nor --from-exported is a usage error.
+    assert cli_main(["interpolate", "--output-dir", out]) == 2
