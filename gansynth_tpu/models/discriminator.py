@@ -20,12 +20,14 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from gansynth_tpu.models.layers import (
     EqualizedConv,
     EqualizedDense,
     downsample_avg,
+    he_scale,
     leaky_relu,
     lerp,
     minibatch_stddev,
@@ -33,18 +35,56 @@ from gansynth_tpu.models.layers import (
 from gansynth_tpu.utils.config import ModelConfig
 
 
+class _EqConvParams(nn.Module):
+    """Param-tree twin of :class:`EqualizedConv`: declares the identical
+    kernel/bias leaves (names, shapes, initializers) and returns them
+    with the eq-LR He scale folded, for lowerings that consume raw
+    weights (the fused block kernel). A checkpoint trained either way
+    restores into the other unchanged."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, c_in: int):
+        kernel = self.param(
+            "kernel", nn.initializers.normal(1.0),
+            (3, 3, c_in, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel * he_scale(9 * c_in, float(np.sqrt(2.0))), bias
+
+
 class DiscriminatorBlock(nn.Module):
     """One trunk stage: two 3x3 eq-LR convs (widening toward the base),
-    LeakyReLU, then avgpool x2."""
+    LeakyReLU, then avgpool x2.
+
+    ``dblock_kernel='pallas'`` lowers the WHOLE chain through the fused
+    VMEM-resident Pallas program (kernels/pallas_dblock.py) on eligible
+    geometry (the stage-6 64-channel block — the step's top HBM sink);
+    ineligible stages stay on the XLA path below. Same param tree either
+    way (``_EqConvParams``)."""
 
     features: int       # width of conv0 (this stage's width)
     out_features: int   # width of conv1 (next-lower stage's width)
     lrelu_slope: float = 0.2
     compute_dtype: str = "float32"
     conv_kernel: str = "xla"
+    dblock_kernel: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.dblock_kernel == "pallas" and _pallas_dblock_ok(
+            x.shape, self.features, self.out_features
+        ):
+            from gansynth_tpu.kernels.pallas_dblock import fused_dblock
+
+            k0, b0 = _EqConvParams(self.features, name="conv0")(x.shape[-1])
+            k1, b1 = _EqConvParams(self.out_features,
+                                   name="conv1")(self.features)
+            cdt = jnp.dtype(self.compute_dtype)
+            return fused_dblock(
+                x.astype(cdt), k0, b0, k1, b1, self.lrelu_slope, False
+            )
         x = leaky_relu(
             EqualizedConv(self.features, compute_dtype=self.compute_dtype,
                           conv_kernel=self.conv_kernel, name="conv0")(x),
@@ -59,6 +99,12 @@ class DiscriminatorBlock(nn.Module):
             self.lrelu_slope,
         )
         return downsample_avg(x, 2)
+
+
+def _pallas_dblock_ok(x_shape, c_out0: int, c_out1: int) -> bool:
+    from gansynth_tpu.kernels.pallas_dblock import dblock_eligible
+
+    return dblock_eligible(x_shape, c_out0, c_out1)
 
 
 class Discriminator(nn.Module):
@@ -99,6 +145,7 @@ class Discriminator(nn.Module):
                 lrelu_slope=cfg.leaky_relu_slope,
                 compute_dtype=cfg.compute_dtype,
                 conv_kernel=cfg.conv_kernel,
+                dblock_kernel=cfg.dblock_kernel,
                 name=f"block_{i}",
             )
             if i <= stage:

@@ -125,6 +125,13 @@ class ModelConfig:
     # conv3x3_eligible; the rest stay on the conv HLO). Equality-tested.
     # "xla" is the measured-faster default (DESIGN.md §2c).
     conv_kernel: str = "xla"
+    # Lowering of the full-resolution DISCRIMINATOR block (conv->lrelu->
+    # conv->lrelu->avgpool): "xla" (three fused XLA kernels) or "pallas"
+    # (kernels/pallas_dblock.py — the whole chain in one VMEM-resident
+    # program; only the stage-6 geometry passing dblock_eligible, other
+    # stages stay on XLA). Checkpoint-interchangeable params;
+    # equality-tested incl. second-order gradients.
+    dblock_kernel: str = "xla"
     # Rematerialize trunk blocks in the backward pass (jax.checkpoint).
     # The WGAN-GP step holds 3 critic passes plus second-order gradients
     # live at once (SURVEY.md §7 hard-part 3); remat trades ~1/3 more
