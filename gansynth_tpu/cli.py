@@ -590,10 +590,15 @@ def _pitch_accuracy_summary(metrics: dict) -> str:
     }
     if any(v is None for v in acc.values()):
         return ""
-    return (
+    line = (
         f"pitch accuracy: HPS {acc['hps']:.1%} / ACF {acc['acf']:.1%}"
         f" / either-detector union {acc['either']:.1%}"
     )
+    cep = metrics.get("pitch_accuracy_cepstrum")
+    cov = metrics.get("pitch_cepstrum_coverage")
+    if cep is not None and cov and cep == cep:  # NaN-safe
+        line += f" / cepstrum {cep:.1%} (on {cov:.0%} of notes)"
+    return line
 
 
 def cmd_serve(args) -> int:

@@ -28,8 +28,11 @@ def detect_midi_pitch(
     num_harmonics: int = 5,
     fmin: float = 20.0,
     fmax: float = 2000.0,
+    octave_correction: bool = True,
+    subharmonic_evidence: float = 0.1,
 ) -> float:
-    """Estimate the fundamental as MIDI via a 1/h-weighted harmonic sum.
+    """Estimate the fundamental as MIDI via a 1/h-weighted harmonic sum
+    with an explicit octave-down decision step.
 
     ``score(f) = sum_h |S(h*f)| / h`` over linear magnitudes. Unlike the
     log-domain harmonic product spectrum, this cannot prefer a
@@ -37,6 +40,19 @@ def detect_midi_pitch(
     a true-harmonic magnitude discounted by a deeper 1/h weight, so the
     true f0 strictly dominates, and missing high harmonics contribute ~0
     (linear noise) instead of a -inf-ish log penalty.
+
+    The raw argmax still errs OCTAVE-UP whenever the 2nd harmonic
+    dominates the fundamental: candidate 2*f0 keeps the biggest partial
+    at weight 1 while f0 holds it at 1/2, so ``S(2f0) > S(f0) +
+    S(3f0)/3 + ...`` flips the ranking even with a clearly audible
+    fundamental (round-4 flagship: the HPS-only 7.2% disagreement was
+    exactly this). The correction inspects each subharmonic candidate
+    ``f*/k`` (k=2,3) for evidence UNIQUE to it — magnitude at harmonics
+    ``h*f*/k`` with ``h % k != 0``, bins a true note at f* leaves at the
+    noise floor — and steps down while that evidence exceeds
+    ``subharmonic_evidence`` of the winning score. Genuinely ambiguous
+    stacks (energy ONLY at multiples of 2*f0) have zero unique evidence
+    and correctly stay at the upper octave.
     """
     wave = np.asarray(wave, np.float64).reshape(-1)
     n = wave.size
@@ -47,7 +63,128 @@ def detect_midi_pitch(
         score[: decimated.size] += decimated
     freqs = np.fft.rfftfreq(n, 1.0 / sample_rate)
     band = (freqs >= fmin) & (freqs <= fmax)
-    f0 = float(freqs[band][np.argmax(score[band])])
+    band_idx = np.nonzero(band)[0]
+    bin_hz = sample_rate / n
+
+    def mag_at(freq: float) -> float:
+        """Local-max magnitude around ``freq`` (absorbs window leakage)."""
+        k = int(round(freq / bin_hz))
+        if k < 1 or k >= spec.size - 2:
+            return 0.0
+        return float(spec[max(k - 2, 0) : k + 3].max())
+
+    peak = int(band_idx[np.argmax(score[band_idx])])
+    f0 = float(freqs[peak])
+    if octave_correction:
+        for _ in range(3):  # at most a few octaves of correction
+            shifted = False
+            for k in (2, 3):
+                cand = f0 / k
+                if cand < fmin:
+                    continue
+                unique = sum(
+                    mag_at(cand * h) / h
+                    for h in range(1, k * num_harmonics + 1)
+                    if h % k != 0
+                )
+                if unique >= subharmonic_evidence * score[peak]:
+                    f0 = cand
+                    shifted = True
+                    break
+            if not shifted:
+                break
+    return 69.0 + 12.0 * np.log2(max(f0, 1e-6) / 440.0)
+
+
+def detect_midi_pitch_cepstrum(
+    wave: np.ndarray,
+    sample_rate: int = 16000,
+    *,
+    fmin: float = 27.5,
+    fmax: float = 1200.0,
+) -> float:
+    """Fundamental estimate via the real cepstrum's peak quefrency.
+
+    Third INDEPENDENT detector (VERDICT-r4 item 5): the cepstrum reads
+    periodicity from the log-magnitude spectrum's ripple, so its failure
+    modes differ from both the linear-magnitude harmonic sum (octave-up
+    under a dominant 2nd harmonic) and the time-domain autocorrelation
+    (subharmonics of near-integer period multiples). Agreement across
+    all three is about as close to ground truth as a signal-side f0 can
+    get.
+
+    Domain limits, measured on the synthetic sparse-harmonic matrix
+    (tests/test_evaluation.py): cepstral pitch reads HARMONIC SPACING,
+    so a single-partial signal has no quefrency peak — the detector
+    returns NaN for those (guard below) instead of a window artifact;
+    and broadband noise shallows the log-spectral ripple, making this
+    the least noise-robust of the three (diagnostic vote, not the
+    headline metric). The log dynamic range is clamped at 1e-3 of the
+    spectral peak so the depth of the inter-harmonic noise floor cannot
+    masquerade as ripple amplitude, and — like the ACF — the shortest
+    strong 'rahmonic' submultiple wins over the global argmax."""
+    wave = np.asarray(wave, np.float64).reshape(-1)
+    wave = wave - wave.mean()
+    n = wave.size
+    spec = np.abs(np.fft.rfft(wave * np.hanning(n)))
+    peak = float(spec.max())
+    if peak <= 0:
+        return float("nan")
+    # Single-partial guard: count well-separated spectral peaks above 5%
+    # of the maximum (Hann sidelobes sit at ~2.8%, safely below).
+    is_max = (
+        (spec[1:-1] > spec[:-2])
+        & (spec[1:-1] >= spec[2:])
+        & (spec[1:-1] > 0.05 * peak)
+    )
+    idx = np.nonzero(is_max)[0] + 1
+    distinct, last = 0, -10**9
+    for i in idx:
+        if i - last >= 8:
+            distinct += 1
+            last = int(i)
+    if distinct < 2:
+        return float("nan")
+    ceps = np.fft.irfft(np.log(np.maximum(spec, 1e-3 * peak)))
+    q_min = max(int(sample_rate / fmax), 2)
+    q_max = min(int(sample_rate / fmin), n // 2 - 2)
+    if q_max <= q_min:
+        return float("nan")
+
+    def refined(lag):
+        # Clamp to the band: the spectral-envelope ramp below q_min is
+        # monotone and would otherwise drag the parabolic walk off the
+        # band edge (measured: low-pitch GAN notes pegged at q_min-2).
+        lo, hi = max(lag - 2, q_min), min(lag + 3, q_max)
+        k = lo + int(np.argmax(ceps[lo:hi]))
+        a, b, c = ceps[k - 1], ceps[k], ceps[k + 1]
+        denom = a - 2 * b + c
+        shift = 0.5 * (a - c) / denom if abs(denom) > 1e-12 else 0.0
+        shift = float(np.clip(shift, -1, 1))
+        return float(b - 0.25 * (a - c) * shift), k + shift
+
+    # The quefrency peak must be a LOCAL maximum: the band-edge argmax
+    # of the envelope ramp is not a pitch reading. Prefer the highest
+    # interior local max; fall back to the raw argmax only if none.
+    band = ceps[q_min:q_max]
+    interior = (
+        (band[1:-1] > band[:-2]) & (band[1:-1] >= band[2:])
+    )
+    locs = np.nonzero(interior)[0] + 1
+    if locs.size:
+        q0 = q_min + int(locs[np.argmax(band[locs])])
+    else:
+        q0 = q_min + int(np.argmax(band))
+    best_val, best_pos = refined(q0)
+    for k in range(8, 1, -1):
+        cand = int(round(best_pos / k))
+        if cand < q_min:
+            continue
+        val, pos = refined(cand)
+        if val >= 0.7 * best_val and abs(pos * k - best_pos) < 0.08 * best_pos:
+            best_val, best_pos = val, pos
+            break
+    f0 = sample_rate / best_pos
     return 69.0 + 12.0 * np.log2(max(f0, 1e-6) / 440.0)
 
 
@@ -132,11 +269,16 @@ def pitch_accuracy(
     detected_acf = np.array(
         [detect_midi_pitch_acf(w, sample_rate) for w in waves]
     )
+    detected_cep = np.array(
+        [detect_midi_pitch_cepstrum(w, sample_rate) for w in waves]
+    )
     target = np.asarray(pitches, np.float64)
     err = np.abs(detected - target)
     err_acf = np.abs(detected_acf - target)
+    err_cep = np.abs(detected_cep - target)  # NaN where undefined
     err_best = np.fmin(err, err_acf)
-    return {
+    cep_defined = np.isfinite(err_cep)
+    out = {
         "pitch_accuracy": float(np.mean(err <= tolerance_semitones)),
         "pitch_mae_semitones": float(np.mean(err)),
         "pitch_median_error_semitones": float(np.median(err)),
@@ -146,7 +288,14 @@ def pitch_accuracy(
             np.mean(err_best <= tolerance_semitones)
         ),
         "pitch_mae_either": float(np.mean(err_best)),
+        # Diagnostic third vote; accuracy over the notes where cepstral
+        # pitch is DEFINED (>=2 spectral partials), with its coverage.
+        "pitch_accuracy_cepstrum": float(
+            np.mean(err_cep[cep_defined] <= tolerance_semitones)
+        ) if cep_defined.any() else float("nan"),
+        "pitch_cepstrum_coverage": float(np.mean(cep_defined)),
     }
+    return out
 
 
 def wilson_interval(successes: int, n: int, z: float = 1.96):
@@ -193,10 +342,16 @@ def pitch_attribution(
     det_a = np.array(
         [detect_midi_pitch_acf(w, sample_rate) for w in waves]
     )
+    det_c = np.array(
+        [detect_midi_pitch_cepstrum(w, sample_rate) for w in waves]
+    )
     err_h = np.abs(det_h - target)
     err_a = np.abs(det_a - target)
+    err_c = np.abs(det_c - target)
     ok_h = err_h <= tolerance_semitones
     ok_a = err_a <= tolerance_semitones
+    ok_c = err_c <= tolerance_semitones  # False where cepstrum undefined
+    cep_defined = np.isfinite(err_c)
     n = len(target)
 
     both_fail = ~ok_h & ~ok_a
@@ -245,6 +400,26 @@ def pitch_attribution(
     for row in per_pitch.values():
         row["median_err_best"] = float(np.median(row.pop("errs")))
 
+    # Per-note evidence for every disagreement (VERDICT-r4 item 5): the
+    # committed eval JSON shows, note by note, WHICH detector deviated
+    # and where the other two landed — the raw material for calling a
+    # miss a detector artifact (others agree with the label) vs a model
+    # error (all fail together). Capped to keep reports readable.
+    disagree = np.nonzero(~ok_h | ~ok_a | (cep_defined & ~ok_c))[0]
+    disagreements = [
+        {
+            "index": int(i),
+            "pitch": int(target[i]),
+            "hps": round(float(det_h[i]), 2),
+            "acf": round(float(det_a[i]), 2),
+            "cepstrum": (
+                round(float(det_c[i]), 2) if cep_defined[i] else None
+            ),
+        }
+        for i in disagree[:64]
+    ]
+
+    n_cep = int(cep_defined.sum())
     return {
         "n": n,
         "tolerance_semitones": tolerance_semitones,
@@ -252,14 +427,21 @@ def pitch_attribution(
         "ci95_hps": wilson_interval(int(ok_h.sum()), n),
         "accuracy_acf": float(np.mean(ok_a)),
         "ci95_acf": wilson_interval(int(ok_a.sum()), n),
+        "accuracy_cepstrum": (
+            float(ok_c[cep_defined].mean()) if n_cep else float("nan")
+        ),
+        "ci95_cepstrum": wilson_interval(int(ok_c.sum()), max(n_cep, 1)),
+        "cepstrum_coverage": n_cep / n if n else 0.0,
         "accuracy_either": float(np.mean(ok_h | ok_a)),
         "ci95_either": wilson_interval(int((ok_h | ok_a).sum()), n),
         "failures": {
             "hps_only": int((~ok_h & ok_a).sum()),
             "acf_only": int((ok_h & ~ok_a).sum()),
             "both": int(both_fail.sum()),
+            "all_three": int((both_fail & cep_defined & ~ok_c).sum()),
         },
         "both_failure_modes": modes,
+        "disagreements": disagreements,
         "by_region": by_region,
         "per_pitch": per_pitch,
     }
