@@ -186,6 +186,16 @@ def main():
             s, mets = superstep(s, waves_k, pitch_k, alphas)
             float(mets["d_loss"])
         print(f"trace written to {args.trace_dir}", flush=True)
+        # Per-op table inline so the window log carries the roofline
+        # rebuild inputs without a second command.
+        try:
+            import trace_summary
+
+            print(flush=True)
+            trace_summary.summarize(args.trace_dir, top=30)
+        except Exception as e:
+            print(f"(trace summary unavailable: {e}; run "
+                  f"scripts/trace_summary.py {args.trace_dir})", flush=True)
     except Exception as e:  # tunneled backends may not support profiling
         print(f"profiler trace unavailable: {type(e).__name__}: {e}",
               flush=True)
