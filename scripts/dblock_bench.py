@@ -149,9 +149,19 @@ def main():
     enable_compile_cache()
     bench_block(args.dtype, args.iters, args.repeats)
     if not args.skip_superstep:
-        t_x = bench_superstep("xla", args.iters, args.repeats)
-        t_p = bench_superstep("pallas", args.iters, args.repeats)
-        print({"step_speedup_pallas_vs_xla": round(t_x / t_p, 3)}, flush=True)
+        # Each arm isolated: a Mosaic compile failure on the pallas arm is
+        # itself a valid "reject" datum and must not take the xla arm (or
+        # the window leg) down with it.
+        per = {}
+        for kern in ("xla", "pallas"):
+            try:
+                per[kern] = bench_superstep(kern, args.iters, args.repeats)
+            except Exception as e:
+                print({"superstep": kern,
+                       "error": str(e).split("\n")[0][:200]}, flush=True)
+        if len(per) == 2:
+            print({"step_speedup_pallas_vs_xla":
+                   round(per["xla"] / per["pallas"], 3)}, flush=True)
 
 
 if __name__ == "__main__":

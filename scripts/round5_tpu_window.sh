@@ -26,6 +26,17 @@ PIDFILE=${1:-/tmp/flagship_r5.pid}
 RUN_DIR=${2:-/root/repo/runs/flagship_r4}
 cd /root/repo
 
+# Bank whatever window logs exist so far (round-3 lesson, applied to
+# logs too: a round-end cutoff must not lose completed legs).
+bank() {
+  mkdir -p "$RUN_DIR/bench"
+  cp -f /tmp/r5_bench.log /tmp/r5_dblock_bench.log /tmp/r5_profile.log \
+        /tmp/r5_eval.log /tmp/r5_gsx_check.log /tmp/r5_serve_load_ckpt.log \
+        /tmp/r5_serve_load_gsx.log "$RUN_DIR/bench/" 2>/dev/null || true
+  git add "$RUN_DIR/bench" 2>/dev/null || true
+  git commit -q -m "Round-5 TPU window: bank $1 results" || true
+}
+
 if [ "$PIDFILE" = "none" ]; then
   echo "pidfile wait skipped by request (PIDFILE=none)"
 elif [ -f "$PIDFILE" ]; then
@@ -60,16 +71,19 @@ git commit -m "Flagship r5 extended release leg: EMA weights, metrics, full eval
 echo "=== bench.py full matrix $(date) ==="
 timeout 3000 python bench.py > /tmp/r5_bench.log 2>&1
 tail -2 /tmp/r5_bench.log
+bank bench
 
 echo "=== fused D-block microbench $(date) ==="
 timeout 3000 python scripts/dblock_bench.py --repeats 3 \
   > /tmp/r5_dblock_bench.log 2>&1
 tail -8 /tmp/r5_dblock_bench.log
+bank dblock
 
 echo "=== per-op trace + cost analysis $(date) ==="
 timeout 2400 python scripts/profile_train_step.py \
   > /tmp/r5_profile.log 2>&1
 tail -30 /tmp/r5_profile.log
+bank trace
 
 echo "=== serving load bench (checkpoint) $(date) ==="
 python -m gansynth_tpu.cli serve --model-dir "$RUN_DIR" \
@@ -84,12 +98,14 @@ timeout 240 python scripts/serve_load_bench.py --port 8451 \
   > /tmp/r5_serve_load_ckpt.log 2>&1
 kill "$SRV" 2>/dev/null; wait "$SRV" 2>/dev/null
 tail -2 /tmp/r5_serve_load_ckpt.log
+bank serve-ckpt
 
 echo "=== export-model --check (TPU round trip) $(date) ==="
 timeout 1800 python -m gansynth_tpu.cli export-model --model-dir "$RUN_DIR" \
   --output /tmp/flagship_r5.gsx --check \
   > /tmp/r5_gsx_check.log 2>&1
 tail -3 /tmp/r5_gsx_check.log
+bank gsx-check
 
 echo "=== serving load bench (--from-exported) $(date) ==="
 python -m gansynth_tpu.cli serve --from-exported /tmp/flagship_r5.gsx \
